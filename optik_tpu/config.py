@@ -1,0 +1,118 @@
+"""Solver configuration.
+
+Mirrors the reference's ``SolverConfig`` (kylc/optik crates/optik/src/config.rs:22-65)
+with the TPU-native replacements for its wall-clock knobs:
+
+  * ``max_time`` (reference default 0.1 s) has no deterministic meaning on a
+    batch device; it is accepted for API compatibility but the actual budget
+    is ``max_restarts`` total seeds x ``max_iters`` solver iterations, both
+    static.  (The reference's own README sanctions this: determinism only
+    holds there when time limits are disabled.)
+  * the rayon thread count becomes ``seed_batch``: how many restart seeds
+    advance in lockstep per round.
+
+All fields are static (hashable) so a config can be closed over by ``jax.jit``
+without retracing churn; arrays never live here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+
+class SolutionMode(enum.Enum):
+    """How to pick the winner among converged restarts.
+
+    Mirrors config.rs:3-8.  ``QUALITY`` minimizes distance to the caller's
+    seed among all successes; ``SPEED`` takes the "first" success — which in
+    the lockstep batched solver is the deterministic lowest restart index,
+    replacing the reference's race-y cross-thread early exit.
+    """
+
+    QUALITY = 1
+    SPEED = 2
+
+    @staticmethod
+    def parse(s: "str | SolutionMode") -> "SolutionMode":
+        if isinstance(s, SolutionMode):
+            return s
+        try:
+            return {"quality": SolutionMode.QUALITY,
+                    "speed": SolutionMode.SPEED}[s]
+        except KeyError:
+            raise ValueError(f"invalid solution mode: {s!r}") from None
+
+
+# Default total number of restart seeds used when the caller asks for
+# "unlimited" restarts (max_restarts=0).  The reference would spin threads
+# until max_time expired; a deterministic budget replaces that.
+DEFAULT_RESTARTS = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """IK solver configuration (static; safe to close over under jit).
+
+    Stopping criteria semantics follow NLopt's as used by the reference
+    (lib.rs:345-356, 376-388):
+
+      * ``tol_f``:  success when f(x) <= tol_f ("stopval").
+      * ``tol_df``: lane stops when |f_{k+1} - f_k| < tol_df; counts as a
+        *success* only when the user set tol_df >= 0.  When unset (< 0), the
+        stall heuristic tol_df = 1e-3 * tol_f still stops the lane but the
+        result is not a success (lib.rs:283-293).
+      * ``tol_dx``: lane stops when every |x_{k+1,i} - x_{k,i}| < tol_dx;
+        success only when the user set tol_dx >= 0.
+    """
+
+    solution_mode: SolutionMode = SolutionMode.SPEED
+    # Accepted for reference API compatibility; not used as a stopping
+    # criterion (see module docstring).
+    max_time: float = 0.1
+    # Total restart seeds. 0 means "unlimited" -> DEFAULT_RESTARTS.
+    max_restarts: int = 0
+    tol_f: float = 1e-6
+    tol_df: float = -1.0
+    tol_dx: float = -1.0
+    linear_weight: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    angular_weight: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    # --- TPU-native extensions -------------------------------------------
+    # Maximum Levenberg-Marquardt iterations per restart (the reference's
+    # implicit budget was wall-clock time inside SLSQP).
+    max_iters: int = 64
+    # Seeds advanced in lockstep per round; the restart budget is consumed in
+    # ceil(total_restarts / seed_batch) rounds with early exit between rounds.
+    seed_batch: int = 64
+    # Base RNG seed; restart i draws from fold_in(key(rng_seed), i), mirroring
+    # the reference's ChaCha8 stream-per-restart scheme (lib.rs:360-362).
+    rng_seed: int = 42
+
+    def __post_init__(self):
+        # Note: the reference Python binding rejects (max_time=0,
+        # max_restarts=0) because its solver would run forever
+        # (optik-py/src/lib.rs:45-47).  Our budgets are always finite
+        # (max_restarts=0 maps to DEFAULT_RESTARTS), so the combination is
+        # legal here; only the mode needs validating.
+        object.__setattr__(
+            self, "solution_mode", SolutionMode.parse(self.solution_mode))
+
+    @property
+    def total_restarts(self) -> int:
+        return self.max_restarts if self.max_restarts > 0 else DEFAULT_RESTARTS
+
+    @property
+    def effective_tol_df(self) -> float:
+        """Stall heuristic: 1e-3 * tol_f when tol_df unset (lib.rs:283-293)."""
+        return self.tol_df if self.tol_df > 0.0 else 1e-3 * self.tol_f
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def create(solution_mode="speed", **kw) -> "SolverConfig":
+        """Keyword constructor accepting the reference's string mode names."""
+        return SolverConfig(
+            solution_mode=SolutionMode.parse(solution_mode), **kw)

@@ -1,0 +1,241 @@
+"""Robot facade: the user-facing API, signature-compatible with the
+reference's Python binding plus first-class batched entry points.
+
+Reference surface mirrored (kylc/optik crates/optik-py/src/lib.rs:17-163 and
+optik.pyi):
+
+  * ``Robot.from_urdf_file(path, base_link, ee_link)`` (and ``_str``)
+  * ``num_positions()``, ``joint_limits()``, ``set_parallelism(n)``
+  * ``random_configuration()``
+  * ``fk(x, ee_offset=None) -> 4x4``          (row-major, like optik-py)
+  * ``joint_jacobian(x, ee_offset=None) -> 6xN`` (EE/local frame)
+  * ``ik(config, target, x0, ee_offset=None) -> (list, cost) | None``
+  * ``diff_ik(x0, V_WE, v_max, ee_offset=None) -> (alpha, list) | None``
+
+TPU-native extensions: ``fk_batch``, ``jacobian_batch``, ``ik_batch``,
+``diff_ik_batch`` operate on leading batch axes and return device arrays —
+these are the throughput paths the benchmarks use; the scalar methods above
+are convenience wrappers (one compile each, then O(100us) dispatch).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SolverConfig
+from .models.chain import ChainSpec
+from .ops import kinematics as K
+from .solver import ik as ik_mod
+
+
+def _default_dtype():
+    return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+
+def _parse_pose(pose, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """4x4 row-major (nested lists / ndarray) -> (R, t); validates rigidity.
+
+    Mirrors optik-py's ``parse_pose`` (optik-py/src/lib.rs:8-15): a
+    non-rigid-transform input raises "invalid target transform specified".
+    """
+    m = np.asarray(pose, dtype=np.float64)
+    if m.shape != (4, 4):
+        raise ValueError("invalid target transform specified")
+    r = m[:3, :3]
+    if (not np.allclose(r @ r.T, np.eye(3), atol=1e-6)
+            or not np.isclose(np.linalg.det(r), 1.0, atol=1e-6)
+            or not np.allclose(m[3], [0.0, 0.0, 0.0, 1.0], atol=1e-6)):
+        raise ValueError("invalid target transform specified")
+    return jnp.asarray(r, dtype=dtype), jnp.asarray(m[:3, 3], dtype=dtype)
+
+
+def _pose_to_mat(r, t) -> np.ndarray:
+    m = np.eye(4)
+    m[:3, :3] = np.asarray(r, dtype=np.float64)
+    m[:3, 3] = np.asarray(t, dtype=np.float64)
+    return m
+
+
+class Robot:
+    """A serial-chain robot bound to device-resident chain constants."""
+
+    def __init__(self, spec: ChainSpec, dtype=None):
+        self.spec = spec
+        self.dtype = dtype or _default_dtype()
+        self.params = K.ChainParams.from_spec(spec, dtype=self.dtype)
+        self._rng = np.random.default_rng()
+
+    # --- constructors -----------------------------------------------------
+
+    @staticmethod
+    def from_urdf_file(path, base_link: str, ee_link: str,
+                       dtype=None) -> "Robot":
+        return Robot(ChainSpec.from_urdf_file(path, base_link, ee_link),
+                     dtype=dtype)
+
+    @staticmethod
+    def from_urdf_str(urdf: str, base_link: str, ee_link: str,
+                      dtype=None) -> "Robot":
+        return Robot(ChainSpec.from_urdf_str(urdf, base_link, ee_link),
+                     dtype=dtype)
+
+    # --- introspection ----------------------------------------------------
+
+    def num_positions(self) -> int:
+        return self.spec.num_positions
+
+    def joint_limits(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.spec.joint_limits()
+
+    def set_parallelism(self, n: int) -> None:
+        """Reference-API compatibility no-op.
+
+        The reference resizes its rayon pool (lib.rs:66-72); here occupancy
+        is set by batch shapes (``SolverConfig.max_restarts`` /
+        ``seed_batch`` and the pose batch size), so there is no pool to
+        resize.
+        """
+
+    def random_configuration(self, rng: Optional[np.random.Generator] = None
+                             ) -> np.ndarray:
+        """Uniform sample within the joint limits (lib.rs:86-91).
+
+        Unbounded joints sample in [-pi, pi] (see solver/ik.py).
+        """
+        rng = rng or self._rng
+        lo, hi = self.joint_limits()
+        lo = np.where(np.isfinite(lo), lo, -np.pi)
+        hi = np.where(np.isfinite(hi), hi, np.pi)
+        return rng.uniform(lo, hi)
+
+    # --- kinematics -------------------------------------------------------
+
+    def _ee_offset(self, ee_offset):
+        if ee_offset is None:
+            return None, None
+        return _parse_pose(ee_offset, self.dtype)
+
+    def fk(self, x, ee_offset=None) -> np.ndarray:
+        """EE pose as a 4x4 row-major matrix (optik-py/src/lib.rs:103-115)."""
+        x = self._check_q(x, "x")
+        ee_r, ee_t = self._ee_offset(ee_offset)
+        r, t = _fk_jit(self.params, jnp.asarray(x, self.dtype), ee_r, ee_t)
+        return _pose_to_mat(r, t)
+
+    def fk_batch(self, x, ee_offset=None):
+        """Batched EE poses: (..., A) -> ((..., 3, 3), (..., 3)) on device."""
+        x = jnp.asarray(x, self.dtype)
+        ee_r, ee_t = self._ee_offset(ee_offset)
+        fn = K.fk_ee
+        for _ in range(x.ndim - 1):
+            fn = jax.vmap(fn, in_axes=(None, 0, None, None))
+        return jax.jit(fn)(self.params, x, ee_r, ee_t)
+
+    def joint_jacobian(self, x, ee_offset=None) -> np.ndarray:
+        """Local-frame geometric Jacobian (6, N) (optik-py/src/lib.rs:91-101)."""
+        x = self._check_q(x, "x")
+        ee_r, ee_t = self._ee_offset(ee_offset)
+        return np.asarray(
+            _jac_jit(self.params, jnp.asarray(x, self.dtype), ee_r, ee_t))
+
+    def jacobian_batch(self, x, ee_offset=None):
+        x = jnp.asarray(x, self.dtype)
+        ee_r, ee_t = self._ee_offset(ee_offset)
+        fn = K.joint_jacobian
+        for _ in range(x.ndim - 1):
+            fn = jax.vmap(fn, in_axes=(None, 0, None, None))
+        return jax.jit(fn)(self.params, x, ee_r, ee_t)
+
+    # --- inverse kinematics -----------------------------------------------
+
+    def _check_q(self, x, name) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        if x.shape != (self.num_positions(),):
+            raise ValueError(f"len({name}) != num_positions")
+        return x
+
+    def _check_seed_in_limits(self, x0: np.ndarray) -> None:
+        # Mirrors the reference's seed validation panic (lib.rs:251-254).
+        lo, hi = self.joint_limits()
+        if np.any(x0 < lo) or np.any(x0 > hi):
+            raise ValueError("seed joint position outside of joint limits")
+
+    def ik(self, config: SolverConfig, target, x0, ee_offset=None
+           ) -> Optional[Tuple[list, float]]:
+        """Single-pose IK; returns (solution, cost) or None (lib.rs:241-415)."""
+        x0 = self._check_q(x0, "x0")
+        self._check_seed_in_limits(x0)
+        tgt_r, tgt_t = _parse_pose(target, self.dtype)
+        ee_r, ee_t = self._ee_offset(ee_offset)
+        res = ik_mod.ik_one(self.params, config, tgt_r, tgt_t,
+                            jnp.asarray(x0, self.dtype), ee_r, ee_t)
+        if not bool(res.found):
+            return None
+        return list(np.asarray(res.x, dtype=np.float64)), float(res.cost)
+
+    def ik_batch(self, config: SolverConfig, tgt_r, tgt_t, x0,
+                 ee_offset=None) -> ik_mod.IKResult:
+        """Batched IK over B poses: (B,3,3), (B,3), (B,A) -> IKResult arrays.
+
+        Seeds outside the joint limits raise, as in the scalar path.
+        """
+        x0 = np.asarray(x0, dtype=np.float64)
+        lo, hi = self.joint_limits()
+        if np.any(x0 < lo) or np.any(x0 > hi):
+            raise ValueError("seed joint position outside of joint limits")
+        ee_r, ee_t = self._ee_offset(ee_offset)
+        return ik_mod.ik_batch(
+            self.params, config,
+            jnp.asarray(tgt_r, self.dtype), jnp.asarray(tgt_t, self.dtype),
+            jnp.asarray(x0, self.dtype), ee_r, ee_t)
+
+    # --- differential IK --------------------------------------------------
+
+    def diff_ik(self, x0, V_WE, v_max, ee_offset=None
+                ) -> Optional[Tuple[float, list]]:
+        """Velocity-limited diff-IK step (lib.rs:101-239).
+
+        Maximizes the scaling alpha in [0, 1] such that J_W(q) v = alpha*V_WE
+        with |v_i| <= v_max_i; returns (alpha, v) or None on solver failure.
+        """
+        from .solver import diffik
+
+        x0 = self._check_q(x0, "x0")
+        v_we = np.asarray(V_WE, dtype=np.float64)
+        if v_we.shape != (6,):
+            raise ValueError("len(V_WE) != 6")
+        v_max = np.asarray(v_max, dtype=np.float64)
+        if v_max.shape != (self.num_positions(),):
+            raise ValueError("len(v_max) != num_positions")
+        ee_r, ee_t = self._ee_offset(ee_offset)
+        alpha, v, ok = diffik.diff_ik_one(
+            self.params, jnp.asarray(x0, self.dtype),
+            jnp.asarray(v_we, self.dtype), jnp.asarray(v_max, self.dtype),
+            ee_r, ee_t)
+        if not bool(ok):
+            return None
+        return float(alpha), list(np.asarray(v, dtype=np.float64))
+
+    def diff_ik_batch(self, x0, V_WE, v_max, ee_offset=None):
+        """Batched diff-IK: (B,A), (B,6), (B,A) -> (alpha (B,), v (B,A), ok (B,))."""
+        from .solver import diffik
+
+        ee_r, ee_t = self._ee_offset(ee_offset)
+        return diffik.diff_ik_batch(
+            self.params,
+            jnp.asarray(x0, self.dtype), jnp.asarray(V_WE, self.dtype),
+            jnp.asarray(v_max, self.dtype), ee_r, ee_t)
+
+
+@jax.jit
+def _fk_jit(params, x, ee_r, ee_t):
+    return K.fk_ee(params, x, ee_r, ee_t)
+
+
+@jax.jit
+def _jac_jit(params, x, ee_r, ee_t):
+    return K.joint_jacobian(params, x, ee_r, ee_t)

@@ -1,0 +1,156 @@
+"""Restart scheduling and solution selection for the batched IK solver.
+
+Replaces the reference's work-stealing parallel-restart orchestration
+(kylc/optik lib.rs:241-415) with deterministic batch axes:
+
+  * the restart stream (lib.rs:298-301) is a lane axis of S seeds advancing
+    in lockstep through the LM solver; "work stealing" disappears because no
+    lane ever idles;
+  * restart 0 starts from the caller's seed ``x0``, restarts i > 0 draw a
+    uniform configuration from the joint limits using
+    ``fold_in(key(rng_seed), i)`` — mirroring the reference's fixed ChaCha8
+    seed 42 with one RNG stream per restart index (lib.rs:360-370), and like
+    it, *independent of the pose being solved*;
+  * Speed mode's race-y cross-thread early exit (lib.rs:269, 382-384)
+    becomes the deterministic "lowest restart index among successes", which
+    is batch-size-invariant and reproducible on any topology;
+  * Quality mode's min-seed-distance reduction (lib.rs:398-408) is an argmin
+    over lanes.
+
+Both selections are pure reductions, so sharding them over a device mesh
+turns into XLA collectives for free (see optik_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SolutionMode, SolverConfig
+from ..ops import kinematics as K
+from . import lm
+
+
+class IKResult(NamedTuple):
+    """Per-query result; ``found`` gates validity of ``x``/``cost``."""
+
+    found: jnp.ndarray  # (...,) bool
+    x: jnp.ndarray      # (..., A)
+    cost: jnp.ndarray   # (...,)
+
+
+def options_from_config(cfg: SolverConfig) -> lm.LMOptions:
+    """Map the reference-compatible config onto LM options (see lm.py)."""
+    return lm.LMOptions(
+        max_iters=cfg.max_iters,
+        tol_f=cfg.tol_f,
+        tol_df=cfg.effective_tol_df,
+        tol_dx=cfg.tol_dx,
+        f_is_success=cfg.tol_f >= 0.0,
+        df_is_success=cfg.tol_df >= 0.0,
+        dx_is_success=cfg.tol_dx >= 0.0,
+    )
+
+
+def sample_bounds(params: K.ChainParams):
+    """Finite sampling box for random restarts.
+
+    Unbounded joints (the reference maps degenerate URDF limits to +-inf,
+    kinematics.rs:299-303) are sampled in [-pi, pi] — the natural period for
+    a revolute joint; the reference would abort on an infinite range.
+    """
+    pi = jnp.asarray(math.pi, dtype=params.lower.dtype)
+    lo = jnp.where(jnp.isfinite(params.lower), params.lower, -pi)
+    hi = jnp.where(jnp.isfinite(params.upper), params.upper, pi)
+    return lo, hi
+
+
+def restart_seeds(params: K.ChainParams, x0: jnp.ndarray, key: jnp.ndarray,
+                  num_restarts: int) -> jnp.ndarray:
+    """(S, A) seed matrix: lane 0 = x0, lanes i>0 ~ U(limits) via fold_in(i)."""
+    lo, hi = sample_bounds(params)
+    a = params.num_positions
+
+    def draw(i):
+        k = jax.random.fold_in(key, i)
+        return jax.random.uniform(k, (a,), dtype=x0.dtype, minval=lo,
+                                  maxval=hi)
+
+    idx = jnp.arange(1, num_restarts)
+    rand = jax.vmap(draw)(idx) if num_restarts > 1 else \
+        jnp.zeros((0, a), x0.dtype)
+    return jnp.concatenate([x0[None, :], rand], axis=0)
+
+
+def _select(mode: SolutionMode, xs, fs, success, x0):
+    """Pick the winning lane: (S, A), (S,), (S,), (A,) -> IKResult scalars."""
+    s = xs.shape[0]
+    if mode == SolutionMode.SPEED:
+        # Deterministic "first success": lowest restart index (replaces the
+        # reference's find_any, lib.rs:409-412).
+        order = jnp.where(success, jnp.arange(s), s)
+        idx = jnp.argmin(order)
+    else:
+        # Quality: minimum Euclidean distance to the caller's seed among
+        # successes (lib.rs:398-408).
+        dist = jnp.linalg.norm(xs - x0[None, :], axis=-1)
+        dist = jnp.where(success, dist, jnp.inf)
+        idx = jnp.argmin(dist)
+    return IKResult(found=jnp.any(success), x=xs[idx], cost=fs[idx])
+
+
+@partial(jax.jit, static_argnums=(1,))
+def ik_one(params: K.ChainParams, cfg: SolverConfig,
+           tgt_r: jnp.ndarray, tgt_t: jnp.ndarray, x0: jnp.ndarray,
+           ee_r: Optional[jnp.ndarray] = None,
+           ee_t: Optional[jnp.ndarray] = None) -> IKResult:
+    """Solve one pose with cfg.total_restarts lockstep restarts."""
+    key = jax.random.PRNGKey(cfg.rng_seed)
+    seeds = restart_seeds(params, x0, key, cfg.total_restarts)
+    res = lm.solve(params, seeds, tgt_r, tgt_t, options_from_config(cfg),
+                   ee_r=ee_r, ee_t=ee_t,
+                   wl=cfg.linear_weight, wa=cfg.angular_weight)
+    return _select(cfg.solution_mode, res.x, res.f, res.success, x0)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def ik_batch(params: K.ChainParams, cfg: SolverConfig,
+             tgt_r: jnp.ndarray,    # (B, 3, 3)
+             tgt_t: jnp.ndarray,    # (B, 3)
+             x0: jnp.ndarray,       # (B, A)
+             ee_r: Optional[jnp.ndarray] = None,
+             ee_t: Optional[jnp.ndarray] = None) -> IKResult:
+    """Solve B poses x S restarts as one flat lane batch of B*S.
+
+    The flat layout (no nested vmap-of-while) keeps every lane in the same
+    lockstep loop — the TPU-native replacement for "thread pool x restart
+    stream".  Selection happens per pose after reshaping back to (B, S).
+    """
+    b = tgt_r.shape[0]
+    s = cfg.total_restarts
+    a = params.num_positions
+
+    key = jax.random.PRNGKey(cfg.rng_seed)
+    # Restart seeds are pose-independent, like the reference's per-restart
+    # RNG streams (lib.rs:360-362) — broadcast over B.
+    seeds0 = jax.vmap(
+        lambda x: restart_seeds(params, x, key, s))(x0)     # (B, S, A)
+
+    lanes = seeds0.reshape(b * s, a)
+    tgt_r_l = jnp.repeat(tgt_r, s, axis=0)
+    tgt_t_l = jnp.repeat(tgt_t, s, axis=0)
+
+    res = lm.solve(params, lanes, tgt_r_l, tgt_t_l, options_from_config(cfg),
+                   ee_r=ee_r, ee_t=ee_t,
+                   wl=cfg.linear_weight, wa=cfg.angular_weight)
+
+    xs = res.x.reshape(b, s, a)
+    fs = res.f.reshape(b, s)
+    succ = res.success.reshape(b, s)
+    return jax.vmap(lambda xsi, fsi, si, x0i:
+                    _select(cfg.solution_mode, xsi, fsi, si, x0i))(
+        xs, fs, succ, x0)

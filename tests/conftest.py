@@ -1,0 +1,25 @@
+"""Test configuration: run on CPU with 8 fake devices and 64-bit floats.
+
+Golden-value parity tests (vs Pinocchio-derived fixtures) require f64; the
+fake-device mesh lets multi-chip sharding be exercised without TPU hardware.
+
+Note: this environment may pre-import jax and register a TPU platform plugin
+via sitecustomize before conftest runs, so plain env vars are not enough —
+``jax.config.update("jax_platforms", "cpu")`` overrides the default backend
+even after import (the backend client itself is created lazily, so the
+XLA_FLAGS fake-device count still takes effect).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
