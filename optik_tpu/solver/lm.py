@@ -48,10 +48,8 @@ class LMOptions(NamedTuple):
     dx_is_success: bool = False
     f_is_success: bool = True  # tol_f >= 0 (lib.rs:376-377)
     lam_init: float = 1e-4
-    lam_up: float = 10.0
-    lam_down: float = 1.0 / 3.0
-    lam_min: float = 1e-12
-    lam_max: float = 1e8
+    lam_min: float = 1e-14
+    lam_max: float = 1e10
 
 
 class LMResult(NamedTuple):
@@ -111,6 +109,7 @@ def solve(params: K.ChainParams,
         x: jnp.ndarray
         f: jnp.ndarray
         lam: jnp.ndarray
+        nu: jnp.ndarray
         stopped: jnp.ndarray
         success: jnp.ndarray
         it: jnp.ndarray
@@ -119,6 +118,7 @@ def solve(params: K.ChainParams,
         x=x0,
         f=f0,
         lam=jnp.full((L,), opts.lam_init, dtype=dtype),
+        nu=jnp.full((L,), 2.0, dtype=dtype),
         stopped=stopped0,
         success=success0,
         it=jnp.zeros((), jnp.int32),
@@ -148,11 +148,24 @@ def solve(params: K.ChainParams,
         finite = jnp.isfinite(f_new)
         accept = (f_new < c.f) & finite
 
+        # Nielsen gain-ratio damping: compare the actual decrease against the
+        # GN model's predicted decrease -(2 r^T J d + |J d|^2) for the
+        # *projected* step.  rho near 1 -> aggressive lambda shrink (fast
+        # quadratic tail); rho small/negative -> grow lambda geometrically
+        # with escalation factor nu (classic Marquardt would loop; lockstep
+        # lanes just take the next iteration).
+        w = jnp.einsum("lia,la->li", j, step)
+        pred = -(2.0 * jnp.sum(r * w, axis=-1) + jnp.sum(w * w, axis=-1))
+        rho = (c.f - f_new) / jnp.maximum(pred, 1e-300)
+        good = accept & (pred > 0)
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+
         x_next = jnp.where(accept[:, None], x_new, c.x)
         f_next = jnp.where(accept, f_new, c.f)
         lam_next = jnp.clip(
-            jnp.where(accept, c.lam * opts.lam_down, c.lam * opts.lam_up),
+            jnp.where(good, c.lam * shrink, c.lam * c.nu),
             opts.lam_min, opts.lam_max)
+        nu_next = jnp.where(good, 2.0, jnp.minimum(c.nu * 2.0, 64.0))
 
         # --- stopping criteria (only for lanes still running) -------------
         newly_f = (f_next <= opts.tol_f) if opts.f_is_success else jnp.zeros_like(accept)
@@ -180,9 +193,10 @@ def solve(params: K.ChainParams,
         x_out = jnp.where(c.stopped[:, None], c.x, x_next)
         f_out = jnp.where(c.stopped, c.f, f_next)
         lam_out = jnp.where(c.stopped, c.lam, lam_next)
+        nu_out = jnp.where(c.stopped, c.nu, nu_next)
 
-        return Carry(x=x_out, f=f_out, lam=lam_out, stopped=stopped,
-                     success=success, it=c.it + 1)
+        return Carry(x=x_out, f=f_out, lam=lam_out, nu=nu_out,
+                     stopped=stopped, success=success, it=c.it + 1)
 
     out = jax.lax.while_loop(cond, body, init)
     return LMResult(x=out.x, f=out.f, success=out.success, iters=out.it)

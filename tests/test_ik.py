@@ -1,0 +1,162 @@
+"""IK solver behavior tests.
+
+Port of kylc/optik crates/optik/tests/test_ik.rs with the wall-clock test
+replaced by its deterministic analog (iteration/restart budgets), plus
+batch-size-invariance tests the reference could not express.
+"""
+
+import numpy as np
+import pytest
+
+from optik_tpu import Robot, SolutionMode, SolverConfig
+from optik_tpu.models import asset_path
+
+UR3E = asset_path("ur3e.urdf").read_text()
+
+
+@pytest.fixture(scope="module")
+def robot():
+    return Robot.from_urdf_str(UR3E, "ur_base_link", "ur_ee_link")
+
+
+def random_reachable_target(robot, rng):
+    # The reference's tests draw target configurations uniformly from [0, 1)
+    # per joint (rand's Vector6 Standard distribution, test_ik.rs:51,106).
+    q = rng.random(robot.num_positions())
+    return robot.fk(q)
+
+
+def test_invalid_seed(robot):
+    """Out-of-limits seed must raise (test_ik.rs:10-22)."""
+    _, ub = robot.joint_limits()
+    x0 = np.zeros(6)
+    x0[4] = ub[4] + 1.0
+    with pytest.raises(ValueError, match="joint limits"):
+        robot.ik(SolverConfig(), np.eye(4), x0)
+
+
+def test_impossible_target_returns_none(robot):
+    """Budget-bounded failure: the reference's max_time test (test_ik.rs:24-43)
+    becomes 'an unreachable target exhausts the restart budget and returns
+    None' — deterministically, with no wall clock involved."""
+    target = np.eye(4)
+    target[:3, 3] = [100.0, 100.0, 100.0]
+    cfg = SolverConfig(max_restarts=8, max_iters=32)
+    assert robot.ik(cfg, target, np.zeros(6)) is None
+
+
+def test_determinism(robot):
+    """Repeat solves must agree (test_ik.rs:45-89) — ours are bitwise equal,
+    not merely within 1e-6, because nothing races."""
+    rng = np.random.default_rng(42)
+    target = random_reachable_target(robot, rng)
+    cfg = SolverConfig(max_restarts=25)
+
+    ref = robot.ik(cfg, target, np.zeros(6))
+    assert ref is not None
+    for _ in range(10):
+        again = robot.ik(cfg, target, np.zeros(6))
+        assert again is not None
+        np.testing.assert_array_equal(np.array(again[0]), np.array(ref[0]))
+        assert again[1] == ref[1]
+
+
+def test_solution_forward_backward(robot):
+    """FK(ik(target)) == target at tight tolerance (test_ik.rs:91-130)."""
+    rng = np.random.default_rng(42)
+    cfg = SolverConfig(solution_mode=SolutionMode.SPEED, tol_f=1e-12,
+                       max_restarts=25)
+    for _ in range(10):
+        target = random_reachable_target(robot, rng)
+        sol = robot.ik(cfg, target, np.zeros(6))
+        assert sol is not None
+        np.testing.assert_allclose(robot.fk(np.array(sol[0])), target,
+                                   atol=1e-6)
+
+
+def test_solution_quality(robot):
+    """Quality-mode seed distance <= Speed-mode (test_ik.rs:132-182)."""
+    rng = np.random.default_rng(42)
+    cfg_speed = SolverConfig(solution_mode=SolutionMode.SPEED,
+                             max_restarts=15)
+    cfg_quality = cfg_speed.replace(solution_mode=SolutionMode.QUALITY)
+
+    for _ in range(20):
+        x0 = np.zeros(6)
+        target = random_reachable_target(robot, rng)
+        sol_s = robot.ik(cfg_speed, target, x0)
+        sol_q = robot.ik(cfg_quality, target, x0)
+        assert sol_s is not None and sol_q is not None
+        d_s = np.linalg.norm(np.array(sol_s[0]) - x0)
+        d_q = np.linalg.norm(np.array(sol_q[0]) - x0)
+        assert d_q <= d_s + 1e-12
+
+
+def test_batch_matches_scalar(robot):
+    """ik_batch must reproduce scalar ik lane-for-lane: determinism holds at
+    any batch size (a strict improvement over the reference, which is only
+    deterministic single-threaded)."""
+    rng = np.random.default_rng(3)
+    B = 5
+    targets = [random_reachable_target(robot, rng) for _ in range(B)]
+    cfg = SolverConfig(max_restarts=8)
+
+    tr = np.stack([t[:3, :3] for t in targets])
+    tt = np.stack([t[:3, 3] for t in targets])
+    res = robot.ik_batch(cfg, tr, tt, np.zeros((B, 6)))
+
+    for i in range(B):
+        sol = robot.ik(cfg, targets[i], np.zeros(6))
+        assert bool(np.asarray(res.found)[i]) == (sol is not None)
+        if sol is not None:
+            np.testing.assert_allclose(np.asarray(res.x)[i], sol[0],
+                                       atol=1e-6)
+
+
+def test_hard_targets_default_budget(robot):
+    """Stress beyond the reference: normal-distributed target configurations
+    (which include deep orientation-flip basins) must solve at the default
+    64-restart budget — restart seeds are nearly free on a batch device."""
+    rng = np.random.default_rng(42)
+    cfg = SolverConfig(tol_f=1e-12)   # max_restarts=0 -> DEFAULT_RESTARTS=64
+    for _ in range(10):
+        q = rng.standard_normal(6)
+        target = robot.fk(q)
+        sol = robot.ik(cfg, target, np.zeros(6))
+        assert sol is not None
+        np.testing.assert_allclose(robot.fk(np.array(sol[0])), target,
+                                   atol=1e-6)
+
+
+def test_quality_prefers_near_seed(robot):
+    """With the seed already at the solution, quality mode must return it."""
+    rng = np.random.default_rng(11)
+    q_star = rng.standard_normal(6) * 0.5
+    target = robot.fk(q_star)
+    cfg = SolverConfig(solution_mode=SolutionMode.QUALITY, max_restarts=16)
+    sol = robot.ik(cfg, target, q_star)
+    assert sol is not None
+    np.testing.assert_allclose(sol[0], q_star, atol=1e-3)
+
+
+def test_weighted_ik(robot):
+    """Solver honors per-axis weights: zero linear weight on x tolerates x
+    error but the weighted cost still converges."""
+    rng = np.random.default_rng(5)
+    target = random_reachable_target(robot, rng)
+    cfg = SolverConfig(max_restarts=16,
+                       linear_weight=(0.0, 1.0, 1.0),
+                       angular_weight=(1.0, 1.0, 1.0))
+    sol = robot.ik(cfg, target, np.zeros(6))
+    assert sol is not None
+    assert sol[1] <= cfg.tol_f
+
+
+def test_tol_dx_success(robot):
+    """tol_dx >= 0 makes small steps a success criterion (lib.rs:379)."""
+    rng = np.random.default_rng(9)
+    target = random_reachable_target(robot, rng)
+    cfg = SolverConfig(max_restarts=8, tol_f=-1.0, tol_dx=1e-10, tol_df=1e-14)
+    sol = robot.ik(cfg, target, np.zeros(6))
+    # With stopval disabled, convergence must come from dx/df criteria.
+    assert sol is not None
