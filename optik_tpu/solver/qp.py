@@ -1,0 +1,131 @@
+"""Batched dense QP solver: fixed-iteration ADMM (OSQP-style) with polish.
+
+Replaces the reference's Clarabel interior-point dependency
+(kylc/optik lib.rs:216-228) with a TPU-native solver: every problem instance
+is a lane, iterations are lockstep matvecs with *no* data-dependent control
+flow, and the one factorization per instance is a small batched Cholesky.
+Interior-point methods branch on line searches and converge in few-but-heavy
+iterations; ADMM does many-but-trivial iterations — exactly the trade a
+batch device wants for the tiny QPs of differential IK.
+
+Problem form (OSQP convention):
+
+    minimize    1/2 x^T P x + q^T x
+    subject to  l <= A x <= u          (equality rows have l == u)
+
+Algorithm (Stellato et al., "OSQP: An Operator Splitting Solver for
+Quadratic Programs", fixed step-rho variant):
+
+    x+ <- solve (P + sigma I + A^T R A) x = sigma x - q + A^T (R z - y)
+    z~ <- A x+
+    z+ <- clip(alpha z~ + (1-alpha) z + y / rho, l, u)
+    y+ <- y + R (alpha z~ + (1-alpha) z - z+)
+
+with per-row rho (R = diag(rho), rho boosted 1e3x on equality rows) and
+over-relaxation alpha = 1.6.  A final *polish* solves the KKT system of the
+active constraint set exactly (one batched LU), recovering interior-point
+accuracy (~1e-10 residuals) from an approximate ADMM active set; lanes where
+polish worsens feasibility keep the ADMM iterate.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QPSolution(NamedTuple):
+    x: jnp.ndarray          # (..., n) primal solution
+    y: jnp.ndarray          # (..., m) dual solution
+    primal_res: jnp.ndarray  # (...,) max |clip-violation of A x|
+    dual_res: jnp.ndarray    # (...,) max |P x + q + A^T y|
+
+
+def _solve_single(P, q, A, l, u, *, sigma, rho_base, rho_eq_scale, alpha,
+                  iters, polish_reg):
+    n = q.shape[0]
+    m = l.shape[0]
+    dtype = q.dtype
+
+    is_eq = (u - l) <= 1e-12
+    rho = jnp.where(is_eq, rho_base * rho_eq_scale, rho_base)
+
+    K = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho) @ A
+    chol = jax.lax.linalg.cholesky(K)
+
+    def chol_solve(b):
+        t = jax.lax.linalg.triangular_solve(chol, b[:, None], left_side=True,
+                                            lower=True)
+        s = jax.lax.linalg.triangular_solve(chol, t, left_side=True,
+                                            lower=True, transpose_a=True)
+        return s[:, 0]
+
+    def body(_, carry):
+        x, z, y = carry
+        rhs = sigma * x - q + A.T @ (rho * z - y)
+        x_new = chol_solve(rhs)
+        z_tilde = A @ x_new
+        z_relaxed = alpha * z_tilde + (1.0 - alpha) * z
+        z_new = jnp.clip(z_relaxed + y / rho, l, u)
+        y_new = y + rho * (z_relaxed - z_new)
+        return x_new, z_new, y_new
+
+    x0 = jnp.zeros(n, dtype)
+    z0 = jnp.clip(jnp.zeros(m, dtype), l, u)
+    y0 = jnp.zeros(m, dtype)
+    x, z, y = jax.lax.fori_loop(0, iters, body, (x0, z0, y0))
+
+    def residuals(xv, yv):
+        ax = A @ xv
+        pr = jnp.max(jnp.maximum(ax - u, 0.0) + jnp.maximum(l - ax, 0.0))
+        dr = jnp.max(jnp.abs(P @ xv + q + A.T @ yv))
+        return pr, dr
+
+    # --- polish: exact KKT solve on the detected active set ---------------
+    ax = A @ x
+    tol = 1e-7
+    act_low = (~is_eq) & (ax - l <= tol * (1.0 + jnp.abs(l))) & (y < 0)
+    act_up = (~is_eq) & (u - ax <= tol * (1.0 + jnp.abs(u))) & (y > 0)
+    active = is_eq | act_low | act_up
+    mask = active.astype(dtype)
+    b_act = jnp.where(act_up, u, l)  # equality rows: l == u
+
+    # Masked KKT: rows [P x + A^T M lam = -q ; M A x - (I - M) lam = M b].
+    kkt = jnp.block([
+        [P + polish_reg * jnp.eye(n, dtype=dtype), A.T * mask],
+        [mask[:, None] * A,
+         -jnp.diag(1.0 - mask) - polish_reg * jnp.eye(m, dtype=dtype)],
+    ])
+    rhs = jnp.concatenate([-q, mask * b_act])
+    sol = jnp.linalg.solve(kkt, rhs)
+    x_p, y_p = sol[:n], sol[n:]
+
+    pr_admm, dr_admm = residuals(x, y)
+    pr_pol, dr_pol = residuals(x_p, y_p)
+    finite = jnp.all(jnp.isfinite(x_p))
+    use_polish = finite & (pr_pol + dr_pol < pr_admm + dr_admm)
+
+    x_out = jnp.where(use_polish, x_p, x)
+    y_out = jnp.where(use_polish, y_p, y)
+    pr = jnp.where(use_polish, pr_pol, pr_admm)
+    dr = jnp.where(use_polish, dr_pol, dr_admm)
+    return QPSolution(x=x_out, y=y_out, primal_res=pr, dual_res=dr)
+
+
+def solve(P, q, A, l, u, *, sigma=1e-6, rho=1.0, rho_eq_scale=1e3,
+          alpha=1.6, iters=800, polish_reg=1e-11) -> QPSolution:
+    """Solve a (batch of) dense QPs.
+
+    Accepts arbitrary leading batch dimensions on every operand (they must
+    agree); scalars-per-problem come back with the same leading dims.
+    """
+    fn = lambda P_, q_, A_, l_, u_: _solve_single(
+        P_, q_, A_, l_, u_, sigma=sigma, rho_base=rho,
+        rho_eq_scale=rho_eq_scale, alpha=alpha, iters=iters,
+        polish_reg=polish_reg)
+    batch_dims = q.ndim - 1
+    for _ in range(batch_dims):
+        fn = jax.vmap(fn)
+    return fn(P, q, A, l, u)
