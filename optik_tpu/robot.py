@@ -30,6 +30,7 @@ from .config import SolverConfig
 from .models.chain import ChainSpec
 from .ops import kinematics as K
 from .solver import ik as ik_mod
+from .utils.precision import with_f32_matmuls
 
 
 def _default_dtype():
@@ -133,7 +134,7 @@ class Robot:
         fn = K.fk_ee
         for _ in range(x.ndim - 1):
             fn = jax.vmap(fn, in_axes=(None, 0, None, None))
-        return jax.jit(fn)(self.params, x, ee_r, ee_t)
+        return with_f32_matmuls(jax.jit(fn))(self.params, x, ee_r, ee_t)
 
     def joint_jacobian(self, x, ee_offset=None) -> np.ndarray:
         """Local-frame geometric Jacobian (6, N) (optik-py/src/lib.rs:91-101)."""
@@ -148,7 +149,7 @@ class Robot:
         fn = K.joint_jacobian
         for _ in range(x.ndim - 1):
             fn = jax.vmap(fn, in_axes=(None, 0, None, None))
-        return jax.jit(fn)(self.params, x, ee_r, ee_t)
+        return with_f32_matmuls(jax.jit(fn))(self.params, x, ee_r, ee_t)
 
     # --- inverse kinematics -----------------------------------------------
 
@@ -231,11 +232,13 @@ class Robot:
             jnp.asarray(v_max, self.dtype), ee_r, ee_t)
 
 
+@with_f32_matmuls
 @jax.jit
 def _fk_jit(params, x, ee_r, ee_t):
     return K.fk_ee(params, x, ee_r, ee_t)
 
 
+@with_f32_matmuls
 @jax.jit
 def _jac_jit(params, x, ee_r, ee_t):
     return K.joint_jacobian(params, x, ee_r, ee_t)

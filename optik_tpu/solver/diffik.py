@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..ops import kinematics as K
 from . import qp
+from ..utils.precision import with_f32_matmuls
 
 # Residual threshold for declaring a solve successful.  The reference's
 # contract checks alpha/velocity bounds at 1e-6 (test_ik.rs:200-205); polish
@@ -71,6 +72,7 @@ def diff_ik_one(params: K.ChainParams, x0, v_we, v_max,
     return _diff_ik_jit(params, x0, v_we, v_max, ee_r, ee_t)
 
 
+@with_f32_matmuls
 @jax.jit
 def _diff_ik_jit(params, x0, v_we, v_max, ee_r, ee_t):
     p, qv, a, l, u = _build_qp(params, x0, v_we, v_max, ee_r, ee_t)
@@ -80,6 +82,7 @@ def _diff_ik_jit(params, x0, v_we, v_max, ee_r, ee_t):
     return sol.x[n], sol.x[:n], ok
 
 
+@with_f32_matmuls
 @jax.jit
 def diff_ik_batch(params, x0, v_we, v_max, ee_r=None, ee_t=None):
     """Batched diff-IK: (B, A), (B, 6), (B, A) -> (alpha (B,), v (B, A), ok (B,))."""

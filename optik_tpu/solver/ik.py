@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SolutionMode, SolverConfig
+from ..utils.precision import with_f32_matmuls
 from ..ops import kinematics as K
 from . import lm
 
@@ -103,6 +104,7 @@ def _select(mode: SolutionMode, xs, fs, success, x0):
     return IKResult(found=jnp.any(success), x=xs[idx], cost=fs[idx])
 
 
+@with_f32_matmuls
 @partial(jax.jit, static_argnums=(1,))
 def ik_one(params: K.ChainParams, cfg: SolverConfig,
            tgt_r: jnp.ndarray, tgt_t: jnp.ndarray, x0: jnp.ndarray,
@@ -117,6 +119,7 @@ def ik_one(params: K.ChainParams, cfg: SolverConfig,
     return _select(cfg.solution_mode, res.x, res.f, res.success, x0)
 
 
+@with_f32_matmuls
 @partial(jax.jit, static_argnums=(1,))
 def ik_batch(params: K.ChainParams, cfg: SolverConfig,
              tgt_r: jnp.ndarray,    # (B, 3, 3)
