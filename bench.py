@@ -29,20 +29,27 @@ PER_CHIP_TARGET = 1e6 / 8.0  # v5p-8 target spread over 8 chips
 
 def main():
     import jax
+
+    # The unrolled solver body compiles slowly (minutes through a remote-
+    # compile tunnel); persist compiled executables so reruns start hot.
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import jax.numpy as jnp
 
     from optik_tpu import Robot, SolverConfig
     from optik_tpu.models import asset_path
-    from optik_tpu.solver import ik as ik_mod
 
     robot = Robot.from_urdf_file(asset_path("panda.urdf"), "panda_link0",
                                  "panda_hand_tcp", dtype=jnp.float32)
-    params = robot.params
     n = robot.num_positions()
 
-    # Throughput configuration: Speed mode, modest seed count, bounded
-    # iterations.  tol_f matches the reference default.
-    cfg = SolverConfig(max_restarts=8, max_iters=48, tol_f=1e-6)
+    # Throughput configuration: Speed mode, 8 lockstep lanes with continuous
+    # reseeding through a 64-restart budget (100% success on this workload),
+    # bounded iterations.  tol_f matches the reference default.
+    cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=48,
+                       tol_f=1e-6)
 
     B = 4096  # poses per batch
 
@@ -56,8 +63,7 @@ def main():
         return (np.asarray(tr, np.float32), np.asarray(tt, np.float32),
                 np.asarray(x0, np.float32))
 
-    solve = lambda tr, tt, x0: ik_mod.ik_batch(
-        params, cfg, jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+    solve = robot._solver(cfg, with_ee=False)
 
     # Warmup / compile.
     tr, tt, x0 = make_batch()

@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""The BASELINE.json benchmark configurations, beyond the north-star:
+
+  2. Batched random-restart IK: 1k random Panda poses x 256 seeds,
+     Quality-mode nearest-to-seed selection.
+  3. UR5 6-DoF with tight joint limits (boundary-active stress).
+  4. Differential-IK Cartesian interpolation with velocity limits as
+     batched QP steps.
+  5. Motion-planning workload: 1M random pose queries in pose-sharded
+     chunks (single-host version; the multi-host variant shards the same
+     chunks over the "data" mesh axis).
+
+Prints one JSON line per config.
+"""
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def timed(fn):
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn()
+    jax.block_until_ready(out)
+    return out, time.perf_counter() - t0
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    import jax.numpy as jnp
+
+    from optik_tpu import Robot, SolverConfig
+    from optik_tpu.models import asset_path
+    from optik_tpu.models.chain import ChainSpec
+
+    dev = str(jax.devices()[0])
+    rng = np.random.default_rng(0)
+
+    # --- config 2: 1k poses x 256 seeds, Quality mode --------------------
+    panda = Robot.from_urdf_file(asset_path("panda.urdf"), "panda_link0",
+                                 "panda_hand_tcp", dtype=jnp.float32)
+    lo, hi = panda.joint_limits()
+    B = 1024
+    qt = rng.uniform(lo, hi, size=(B, 7))
+    tr, tt = panda.fk_batch(qt)
+    tr = np.asarray(tr, np.float32)
+    tt = np.asarray(tt, np.float32)
+    x0 = rng.uniform(lo, hi, size=(B, 7)).astype(np.float32)
+    cfg_q = SolverConfig.create("quality", max_restarts=256, seed_batch=64,
+                                max_iters=48)
+    res, dt = timed(lambda: panda.ik_batch(cfg_q, tr, tt, x0))
+    print(json.dumps({
+        "metric": "panda_quality_256seed_solves_per_s",
+        "value": round(B / dt, 1), "unit": "solves/s",
+        "success_rate": round(float(np.asarray(res.found).mean()), 4),
+        "batch": B, "seeds": 256, "device": dev}))
+
+    # --- config 3: UR5 tight limits --------------------------------------
+    ur5 = Robot.from_urdf_file(asset_path("ur5.urdf"), "base_link", "ee_link")
+    spec = ur5.spec
+    tight = ChainSpec(
+        joint_names=spec.joint_names, origin_r=spec.origin_r,
+        origin_t=spec.origin_t, axis=spec.axis, prismatic=spec.prismatic,
+        lower=np.full(6, -np.pi / 2), upper=np.full(6, np.pi / 2),
+        tip_r=spec.tip_r, tip_t=spec.tip_t)
+    ur5t = Robot(tight, dtype=jnp.float32)
+    B = 4096
+    qt = rng.uniform(-np.pi / 2, np.pi / 2, size=(B, 6))
+    tr5, tt5 = ur5t.fk_batch(qt)
+    tr5 = np.asarray(tr5, np.float32)
+    tt5 = np.asarray(tt5, np.float32)
+    x05 = rng.uniform(-np.pi / 2, np.pi / 2, size=(B, 6)).astype(np.float32)
+    cfg5 = SolverConfig(max_restarts=64, seed_batch=8, max_iters=48)
+    res, dt = timed(lambda: ur5t.ik_batch(cfg5, tr5, tt5, x05))
+    print(json.dumps({
+        "metric": "ur5_tight_limits_solves_per_s",
+        "value": round(B / dt, 1), "unit": "solves/s",
+        "success_rate": round(float(np.asarray(res.found).mean()), 4),
+        "batch": B, "device": dev}))
+
+    # --- config 4: diff-IK batched QP steps ------------------------------
+    B = 4096
+    x0d = rng.uniform(lo, hi, size=(B, 7))
+    v_we = np.tile(np.array([0, 0, 0.1, 0, 0, 0.0]), (B, 1))
+    v_max = np.full((B, 7), 0.75)
+    res, dt = timed(lambda: panda.diff_ik_batch(x0d, v_we, v_max))
+    print(json.dumps({
+        "metric": "diff_ik_steps_per_s",
+        "value": round(B / dt, 1), "unit": "steps/s",
+        "ok_rate": round(float(np.asarray(res[2]).mean()), 4),
+        "batch": B, "device": dev}))
+
+    # --- config 5: 1M-pose motion-planning workload ----------------------
+    cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=48)
+    chunk = 8192
+    n_chunks = 16  # 131k poses here; scale n_chunks for the full 1M run
+    solve = panda._solver(cfg, False)
+    # Warm up compile.
+    qt = rng.uniform(lo, hi, size=(chunk, 7))
+    trc, ttc = panda.fk_batch(qt)
+    x0c = rng.uniform(lo, hi, size=(chunk, 7)).astype(np.float32)
+    out = solve(jnp.asarray(np.asarray(trc), jnp.float32),
+                jnp.asarray(np.asarray(ttc), jnp.float32),
+                jnp.asarray(x0c))
+    jax.block_until_ready(out)
+
+    found = 0
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        qt = rng.uniform(lo, hi, size=(chunk, 7))
+        trc, ttc = panda.fk_batch(qt)
+        x0c = rng.uniform(lo, hi, size=(chunk, 7)).astype(np.float32)
+        out = solve(jnp.asarray(np.asarray(trc), jnp.float32),
+                    jnp.asarray(np.asarray(ttc), jnp.float32),
+                    jnp.asarray(x0c))
+        found += int(np.asarray(out.found).sum())
+    dt = time.perf_counter() - t0
+    n = chunk * n_chunks
+    print(json.dumps({
+        "metric": "motion_planning_solves_per_s",
+        "value": round(n / dt, 1), "unit": "solves/s",
+        "success_rate": round(found / n, 4),
+        "poses": n, "device": dev}))
+
+
+if __name__ == "__main__":
+    main()

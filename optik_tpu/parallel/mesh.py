@@ -53,54 +53,28 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(arr, ("data", "seed"))
 
 
-@with_f32_matmuls
-@partial(jax.jit, static_argnums=(1,), static_argnames=("mesh",))
-def _ik_sharded(params: K.ChainParams, cfg: SolverConfig,
-                tgt_r, tgt_t, x0, *, mesh: Mesh) -> ik_mod.IKResult:
-    """jit body: (B,3,3),(B,3),(B,A) -> IKResult, lanes sharded over mesh."""
-    b = tgt_r.shape[0]
-    s = cfg.total_restarts
-    a = params.num_positions
-
-    key = jax.random.PRNGKey(cfg.rng_seed)
-    seeds = jax.vmap(
-        lambda x: ik_mod.restart_seeds(params, x, key, s))(x0)  # (B, S, A)
-
-    lane_spec = NamedSharding(mesh, P("data", "seed"))
-    seeds = jax.lax.with_sharding_constraint(seeds, lane_spec)
-
-    # Flatten to (B*S, ...) for the lockstep solver; the layout constraint
-    # above pins the partitioning so the reshape stays local.
-    lanes = seeds.reshape(b * s, a)
-    tgt_r_l = jnp.repeat(tgt_r, s, axis=0)
-    tgt_t_l = jnp.repeat(tgt_t, s, axis=0)
-
-    res = lm.solve(params, lanes, tgt_r_l, tgt_t_l,
-                   ik_mod.options_from_config(cfg),
-                   wl=cfg.linear_weight, wa=cfg.angular_weight)
-
-    xs = res.x.reshape(b, s, a)
-    fs = res.f.reshape(b, s)
-    succ = res.success.reshape(b, s)
-    xs = jax.lax.with_sharding_constraint(xs, lane_spec)
-
-    # Selection: argmin over the seed axis -> argmin-reduce collective over
-    # ICI when S is sharded.
-    out = jax.vmap(lambda xsi, fsi, si, x0i: ik_mod._select(
-        cfg.solution_mode, xsi, fsi, si, x0i))(xs, fs, succ, x0)
-    out_spec = NamedSharding(mesh, P("data"))
-    return jax.tree.map(
-        lambda v: jax.lax.with_sharding_constraint(v, out_spec), out)
+_solver_cache = {}
 
 
-def ik_sharded(params: K.ChainParams, cfg: SolverConfig,
-               tgt_r, tgt_t, x0, mesh: Mesh) -> ik_mod.IKResult:
+def ik_sharded(robot, cfg: SolverConfig, tgt_r, tgt_t, x0,
+               mesh: Mesh) -> ik_mod.IKResult:
     """Solve B poses x S seeds sharded over a (data, seed) mesh.
 
-    B must be divisible by mesh.shape['data'] and S by mesh.shape['seed'].
+    ``robot`` is an optik_tpu.Robot.  B must be divisible by
+    mesh.shape['data'] and S (cfg.total_restarts) by mesh.shape['seed'].
+    Lanes run on the SoA fast path; the winner selection lowers to a
+    seed-axis argmin-reduce collective.
     """
     if tgt_r.shape[0] % mesh.shape["data"]:
         raise ValueError("pose batch not divisible by mesh 'data' axis")
     if cfg.total_restarts % mesh.shape["seed"]:
         raise ValueError("restart count not divisible by mesh 'seed' axis")
-    return _ik_sharded(params, cfg, tgt_r, tgt_t, x0, mesh=mesh)
+
+    key = (id(robot.spec), cfg, mesh)
+    fn = _solver_cache.get(key)
+    if fn is None:
+        fn = ik_mod.build_batch_solver(robot.spec, cfg, robot.dtype,
+                                       mesh=mesh)
+        _solver_cache[key] = fn
+    return fn(jnp.asarray(tgt_r, robot.dtype), jnp.asarray(tgt_t, robot.dtype),
+              jnp.asarray(x0, robot.dtype))

@@ -69,6 +69,17 @@ class Robot:
         self.dtype = dtype or _default_dtype()
         self.params = K.ChainParams.from_spec(spec, dtype=self.dtype)
         self._rng = np.random.default_rng()
+        # Compiled SoA solvers, keyed by (config, has_ee_offset).
+        self._solvers = {}
+
+    def _solver(self, config: SolverConfig, with_ee: bool):
+        key = (config, with_ee)
+        fn = self._solvers.get(key)
+        if fn is None:
+            fn = ik_mod.build_batch_solver(self.spec, config, self.dtype,
+                                           with_ee=with_ee)
+            self._solvers[key] = fn
+        return fn
 
     # --- constructors -----------------------------------------------------
 
@@ -172,11 +183,13 @@ class Robot:
         self._check_seed_in_limits(x0)
         tgt_r, tgt_t = _parse_pose(target, self.dtype)
         ee_r, ee_t = self._ee_offset(ee_offset)
-        res = ik_mod.ik_one(self.params, config, tgt_r, tgt_t,
-                            jnp.asarray(x0, self.dtype), ee_r, ee_t)
-        if not bool(res.found):
+        fn = self._solver(config, ee_offset is not None)
+        res = fn(tgt_r[None], tgt_t[None],
+                 jnp.asarray(x0, self.dtype)[None], ee_r, ee_t)
+        if not bool(res.found[0]):
             return None
-        return list(np.asarray(res.x, dtype=np.float64)), float(res.cost)
+        return (list(np.asarray(res.x[0], dtype=np.float64)),
+                float(res.cost[0]))
 
     def ik_batch(self, config: SolverConfig, tgt_r, tgt_t, x0,
                  ee_offset=None) -> ik_mod.IKResult:
@@ -189,10 +202,10 @@ class Robot:
         if np.any(x0 < lo) or np.any(x0 > hi):
             raise ValueError("seed joint position outside of joint limits")
         ee_r, ee_t = self._ee_offset(ee_offset)
-        return ik_mod.ik_batch(
-            self.params, config,
-            jnp.asarray(tgt_r, self.dtype), jnp.asarray(tgt_t, self.dtype),
-            jnp.asarray(x0, self.dtype), ee_r, ee_t)
+        fn = self._solver(config, ee_offset is not None)
+        return fn(jnp.asarray(tgt_r, self.dtype),
+                  jnp.asarray(tgt_t, self.dtype),
+                  jnp.asarray(x0, self.dtype), ee_r, ee_t)
 
     # --- differential IK --------------------------------------------------
 

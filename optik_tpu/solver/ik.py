@@ -87,14 +87,20 @@ def restart_seeds(params: K.ChainParams, x0: jnp.ndarray, key: jnp.ndarray,
     return jnp.concatenate([x0[None, :], rand], axis=0)
 
 
-def _select(mode: SolutionMode, xs, fs, success, x0):
-    """Pick the winning lane: (S, A), (S,), (S,), (A,) -> IKResult scalars."""
+def _select(mode: SolutionMode, xs, fs, success, x0, restart_idx=None):
+    """Pick the winning lane: (S, A), (S,), (S,), (A,) -> IKResult scalars.
+
+    ``restart_idx`` (continuous-reseed path) carries the restart index each
+    lane's final attempt used; Speed mode minimizes it so "first success"
+    stays invariant to the lane layout.
+    """
     s = xs.shape[0]
     if mode == SolutionMode.SPEED:
         # Deterministic "first success": lowest restart index (replaces the
         # reference's find_any, lib.rs:409-412).
-        order = jnp.where(success, jnp.arange(s), s)
-        idx = jnp.argmin(order)
+        order = restart_idx if restart_idx is not None else jnp.arange(s)
+        big = jnp.iinfo(jnp.int32).max
+        idx = jnp.argmin(jnp.where(success, order, big))
     else:
         # Quality: minimum Euclidean distance to the caller's seed among
         # successes (lib.rs:398-408).
@@ -102,6 +108,102 @@ def _select(mode: SolutionMode, xs, fs, success, x0):
         dist = jnp.where(success, dist, jnp.inf)
         idx = jnp.argmin(dist)
     return IKResult(found=jnp.any(success), x=xs[idx], cost=fs[idx])
+
+
+def build_batch_solver(spec, cfg: SolverConfig, dtype, with_ee: bool = False,
+                       mesh=None):
+    """Compile a batched IK solver for one robot+config (the fast path).
+
+    The chain spec is baked into the trace as static floats (SoA path, see
+    ops/soa.py), so there is exactly one compilation per (robot, config,
+    batch shape).  Returns ``fn(tgt_r (B,3,3), tgt_t (B,3), x0 (B,A)
+    [, ee_r, ee_t]) -> IKResult``.
+
+    With ``mesh``, lane arrays are constrained to
+    ``NamedSharding(mesh, P("data", "seed"))`` — poses over "data", restart
+    seeds over "seed" — and the per-pose argmin selection lowers to a
+    seed-axis reduce collective.
+    """
+    import numpy as np
+
+    from ..ops import soa
+    from . import lm_soa
+
+    consts = soa.chain_constants(spec)
+    a = spec.num_positions
+    lower = [float(v) for v in spec.lower]
+    upper = [float(v) for v in spec.upper]
+    lo_s = np.where(np.isfinite(spec.lower), spec.lower, -np.pi)
+    hi_s = np.where(np.isfinite(spec.upper), spec.upper, np.pi)
+    opts = options_from_config(cfg)
+    # Lane count: at most seed_batch lanes advance in lockstep; the rest of
+    # the restart budget is consumed by continuous reseeding (lane l strides
+    # restart indices l, l+S, l+2S, ...).
+    r_total = cfg.total_restarts
+    s = min(cfg.seed_batch, r_total)
+    use_reseed = r_total > s
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lane_sharding = NamedSharding(mesh, P("data", "seed"))
+        pose_sharding = NamedSharding(mesh, P("data"))
+
+    def constrain(x, sharding):
+        if mesh is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, sharding)
+
+    @with_f32_matmuls
+    @jax.jit
+    def solve_batch(tgt_r, tgt_t, x0, ee_r=None, ee_t=None):
+        b = tgt_r.shape[0]
+        lo = jnp.asarray(lo_s, x0.dtype)
+        hi = jnp.asarray(hi_s, x0.dtype)
+        key = jax.random.PRNGKey(cfg.rng_seed)
+
+        # Restart seed table: row i is the deterministic per-restart stream
+        # (pose-independent, lib.rs:360-370); row 0 is unused (the caller's
+        # x0 takes restart index 0).
+        def draw(i):
+            k = jax.random.fold_in(key, i)
+            return jax.random.uniform(k, (a,), dtype=x0.dtype, minval=lo,
+                                      maxval=hi)
+
+        table = jax.vmap(draw)(jnp.arange(r_total)) if r_total > 1 else \
+            jnp.zeros((1, a), x0.dtype)
+
+        seeds = jnp.concatenate(
+            [x0[:, None, :],
+             jnp.broadcast_to(table[1:s], (b, s - 1, a))], axis=1)
+        seeds = constrain(seeds, lane_sharding if mesh is not None else None)
+
+        res = lm_soa.solve_soa(
+            consts, lower, upper, opts, seeds,
+            tgt_r[:, None], tgt_t[:, None],
+            ee_r=ee_r, ee_t=ee_t,
+            wl=cfg.linear_weight, wa=cfg.angular_weight,
+            seed_table=table if use_reseed else None,
+            lane_index=jnp.arange(s) if use_reseed else None,
+            total_restarts=r_total,
+            success_stops_group=(cfg.solution_mode == SolutionMode.SPEED),
+            explore_full_budget=(cfg.solution_mode == SolutionMode.QUALITY),
+            quality_x0=x0[:, None])
+
+        xs = constrain(res.x, lane_sharding if mesh is not None else None)
+        if res.restart_index is not None:
+            out = jax.vmap(lambda xsi, fsi, si, x0i, ri: _select(
+                cfg.solution_mode, xsi, fsi, si, x0i, ri))(
+                xs, res.f, res.success, x0, res.restart_index)
+        else:
+            out = jax.vmap(lambda xsi, fsi, si, x0i: _select(
+                cfg.solution_mode, xsi, fsi, si, x0i))(
+                xs, res.f, res.success, x0)
+        if mesh is not None:
+            out = jax.tree.map(lambda v: constrain(v, pose_sharding), out)
+        return out
+
+    return solve_batch
 
 
 @with_f32_matmuls

@@ -57,6 +57,9 @@ class LMResult(NamedTuple):
     f: jnp.ndarray        # (L,) final costs
     success: jnp.ndarray  # (L,) bool
     iters: jnp.ndarray    # () iterations executed
+    # Restart index each lane ended on (continuous-reseed path only);
+    # None when each lane ran exactly one restart.
+    restart_index: Optional[jnp.ndarray] = None
 
 
 def _cost_only(params, q, tgt_r, tgt_t, ee_r, ee_t, wl, wa):

@@ -1,0 +1,280 @@
+"""Lockstep projected-LM solver on the SoA compute path (the fast path).
+
+Semantics are identical to solver/lm.py (same stopping criteria, same
+Nielsen damping, same success classification — see that module for the
+reference mapping); the differences are representational and structural:
+
+  * all small matrices/vectors are unrolled into per-component element-wise
+    ops on lane-shaped arrays (see ops/soa.py for why this matters on TPU);
+  * exactly ONE fused residual+Jacobian evaluation per loop iteration — and
+    none outside the loop.  The first iteration of every attempt (including
+    the very first, and every reseed) is an "adopt" step: the lane evaluates
+    its seed point, takes its cost, and only checks the stopval criterion.
+    Subsequent iterations propose a damped-GN step from the carried (e, J),
+    and the trial evaluation doubles as the next step's Jacobian.  This
+    keeps the traced graph at ~half the naive size (compile time of the
+    unrolled body is a real cost) and halves the FK FLOPs per iteration;
+  * continuous reseeding: the deterministic replacement for the reference's
+    work-stealing restart stream (lib.rs:298-301).  With a seed table
+    (R, A) and S lanes per pose, lane l strides restart indices l, l+S,
+    l+2S, ...; a lane whose attempt ends without success adopts its next
+    seed on the following iteration instead of idling until the batch
+    drains.  The restart *index* at success is tracked so Speed mode's
+    "first success" stays batch-layout-invariant.
+
+Shape-agnostic: the lane axes can be any shape — (L,) for flat batches,
+(B, S) for mesh-sharded pose x seed grids — because every operation is
+element-wise over them.  The chain spec enters as *static Python floats*
+baked into the trace (use solver/ik.py's factory: one compile per robot).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import soa
+from .lm import LMOptions, LMResult
+
+
+def solve_soa(consts, lower, upper, opts: LMOptions,
+              x0: jnp.ndarray,          # (..., A)
+              tgt_r: jnp.ndarray,       # (..., 3, 3) broadcastable to lanes
+              tgt_t: jnp.ndarray,       # (..., 3)
+              ee_r: Optional[jnp.ndarray] = None,
+              ee_t: Optional[jnp.ndarray] = None,
+              wl=None, wa=None,
+              seed_table: Optional[jnp.ndarray] = None,  # (R, A)
+              lane_index: Optional[jnp.ndarray] = None,  # broadcastable ints
+              total_restarts: int = 0,
+              success_stops_group: bool = False,
+              explore_full_budget: bool = False,
+              quality_x0: Optional[jnp.ndarray] = None) -> LMResult:
+    """Run lockstep projected LM; lane axes = x0.shape[:-1].
+
+    ``consts`` from soa.chain_constants(spec); ``lower``/``upper`` are
+    python float lists (static joint limits).  See module docstring for the
+    reseed contract.
+    """
+    a = x0.shape[-1]
+    lane_shape = x0.shape[:-1]
+    dtype = x0.dtype
+    s_lanes = lane_shape[-1] if lane_shape else 1
+    reseed = (seed_table is not None and total_restarts > s_lanes)
+    # Quality mode must examine the full restart budget (the reference runs
+    # every restart and takes the min-seed-distance success, lib.rs:398-408):
+    # successful attempts record a per-lane best and the lane keeps
+    # reseeding; Speed mode lanes stop at their first success.
+    track_best = reseed and explore_full_budget
+    rounds = -(-total_restarts // s_lanes) if reseed else 1
+    # +1: the first iteration of each attempt only evaluates the seed.
+    max_total_iters = (opts.max_iters + 1) * rounds
+
+    tgtm = [[tgt_r[..., i, j] for j in range(3)] for i in range(3)]
+    tgtt = [tgt_t[..., i] for i in range(3)]
+    eem = eev = None
+    if ee_r is not None:
+        eem = [[ee_r[..., i, j] for j in range(3)] for i in range(3)]
+        eev = [ee_t[..., i] for i in range(3)]
+    weight6 = soa.weight6_from_config(tgtm, wl, wa)
+
+    def rj(xs):
+        e, jt = soa.residual_and_jtask(consts, xs, tgtm, tgtt, eem, eev,
+                                       weight6)
+        f = jnp.broadcast_to(soa.vec_dot(e, e), lane_shape)
+        return e, jt, f
+
+    xs0 = [jnp.broadcast_to(x0[..., j], lane_shape) for j in range(a)]
+    zeros = jnp.zeros(lane_shape, dtype)
+    e0 = [zeros] * 6
+    jt0 = (zeros,) * (6 * a)
+    f0 = jnp.full(lane_shape, jnp.inf, dtype)
+
+    if reseed:
+        idx0 = jnp.broadcast_to(
+            jnp.asarray(lane_index, jnp.int32), lane_shape)
+        tables = [jnp.asarray(seed_table[:, p], dtype) for p in range(a)]
+    else:
+        idx0 = jnp.zeros((), jnp.int32)  # placeholder, traced away
+        tables = None
+
+    if track_best:
+        # Distance is measured to the *caller's* seed (lib.rs:402-407), not
+        # to each lane's own restart seed.
+        qx0 = [quality_x0[..., p] for p in range(a)]
+        best0 = (tuple([zeros] * a),                       # best x
+                 jnp.full(lane_shape, jnp.inf, dtype),     # best seed dist
+                 jnp.full(lane_shape, jnp.inf, dtype),     # best cost
+                 jnp.zeros(lane_shape, jnp.int32))         # best restart idx
+    else:
+        best0 = ()
+
+    init = (tuple(xs0), tuple(e0), jt0, f0,
+            jnp.full(lane_shape, opts.lam_init, dtype),
+            jnp.full(lane_shape, 2.0, dtype),
+            jnp.zeros(lane_shape, bool),       # stopped
+            jnp.zeros(lane_shape, bool),       # success
+            jnp.zeros((), jnp.int32),          # global iteration
+            idx0,                              # current restart index
+            jnp.zeros(lane_shape, jnp.int32),  # per-attempt iteration
+            jnp.ones(lane_shape, bool),        # pending: adopt x this iter
+            best0)
+
+    def cond(c):
+        return (c[8] < max_total_iters) & ~jnp.all(c[6])
+
+    def body(c):
+        (xs_t, e_t, jt_flat, f, lam, nu, stopped, success, it,
+         cur_idx, it_lane, pending, best) = c
+        xs = list(xs_t)
+        e = list(e_t)
+        jt = [[jt_flat[i * a + p] for p in range(a)] for i in range(6)]
+
+        # Damped GN step from the carried (e, J) at the current iterate:
+        # delta = -J^T (J J^T + lam I)^{-1} e   (6x6 SPD solve).
+        jjt = [[None] * 6 for _ in range(6)]
+        for i in range(6):
+            for k in range(i + 1):
+                v = sum(jt[i][p] * jt[k][p] for p in range(a))
+                jjt[i][k] = v
+                jjt[k][i] = v
+            jjt[i][i] = jjt[i][i] + lam
+        z = soa.cholesky_solve(jjt, e)
+        delta = [-sum(jt[i][p] * z[i] for i in range(6)) for p in range(a)]
+
+        x_new = [jnp.clip(xs[p] + delta[p], lower[p], upper[p])
+                 for p in range(a)]
+
+        # Pending lanes adopt a point instead of stepping: the initial seed
+        # on the very first iteration (every lane starts pending), or the
+        # next stride seed after a scheduled reseed (cur_idx was advanced
+        # when the attempt ended).
+        if reseed:
+            fresh_seed = [jnp.take(tables[p], cur_idx) for p in range(a)]
+            is_first = it == 0
+            adopt_x = [jnp.where(is_first, xs[p], fresh_seed[p])
+                       for p in range(a)]
+        else:
+            adopt_x = xs
+        x_new = [jnp.where(pending, adopt_x[p], x_new[p]) for p in range(a)]
+        step = [x_new[p] - xs[p] for p in range(a)]
+
+        # ONE fused evaluation: trial cost + the next step's Jacobian.
+        e_new, jt_new, f_new = rj(x_new)
+
+        finite = jnp.isfinite(f_new)
+        accept = ((f_new < f) | pending) & finite
+
+        # Nielsen gain ratio on the projected step (see lm.py);
+        # meaningless for adopt steps, which reset the damping instead.
+        w = [sum(jt[i][p] * step[p] for p in range(a)) for i in range(6)]
+        pred = -(2.0 * soa.vec_dot(e, w) + soa.vec_dot(w, w))
+        rho = (f - f_new) / jnp.maximum(pred, 1e-30)
+        good = accept & (pred > 0) & ~pending
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+
+        keep = stopped | ~accept  # lanes that keep their current state
+        x_next = [jnp.where(keep, xs[p], x_new[p]) for p in range(a)]
+        e_next = [jnp.where(keep, e[i], e_new[i]) for i in range(6)]
+        jt_next = tuple(
+            jnp.where(keep, jt[i][p], jt_new[i][p])
+            for i in range(6) for p in range(a))
+        f_next = jnp.where(keep, f, f_new)
+
+        lam_next = jnp.clip(jnp.where(good, lam * shrink, lam * nu),
+                            opts.lam_min, opts.lam_max)
+        nu_next = jnp.where(good, 2.0, jnp.minimum(nu * 2.0, 64.0))
+        fresh = pending & ~stopped
+        lam_next = jnp.where(fresh, opts.lam_init, lam_next)
+        nu_next = jnp.where(fresh, 2.0, nu_next)
+        lam_next = jnp.where(stopped, lam, lam_next)
+        nu_next = jnp.where(stopped, nu, nu_next)
+
+        # --- stopping criteria -------------------------------------------
+        newly_f = (f_next <= opts.tol_f) if opts.f_is_success else \
+            jnp.zeros_like(accept)
+        df = jnp.abs(f - f_next)
+        newly_df = accept & (df < opts.tol_df) & ~pending
+        if opts.tol_dx >= 0.0:
+            adx = step[0] * 0.0
+            for p in range(a):
+                adx = jnp.maximum(adx, jnp.abs(step[p]))
+            newly_dx = accept & (adx < opts.tol_dx) & ~pending
+        else:
+            newly_dx = jnp.zeros_like(accept)
+        newly_stuck = lam_next >= opts.lam_max
+
+        run = ~stopped
+        succ_now = newly_f
+        if opts.df_is_success:
+            succ_now = succ_now | newly_df
+        if opts.dx_is_success:
+            succ_now = succ_now | newly_dx
+        success = success | (run & succ_now)
+        it_next = jnp.where(pending & run, 1, it_lane + 1)
+        attempt_over = (newly_f | newly_df | newly_dx | newly_stuck
+                        | (it_next > opts.max_iters))
+        # A non-finite adopted point is a dead attempt too.
+        attempt_over = attempt_over | (pending & ~finite)
+
+        if track_best:
+            # Record this attempt's solution if it's the best success so
+            # far (min distance to the caller's seed), then keep exploring.
+            bx, bd, bf, bi = best
+            d2 = sum((x_next[p] - qx0[p]) ** 2 for p in range(a))
+            d = jnp.sqrt(d2)
+            better = run & succ_now & (d < bd)
+            best = (tuple(jnp.where(better, x_next[p], bx[p])
+                          for p in range(a)),
+                    jnp.where(better, d, bd),
+                    jnp.where(better, f_next, bf),
+                    jnp.where(better, cur_idx, bi))
+
+        if reseed:
+            next_idx = cur_idx + s_lanes
+            can_retry = next_idx < total_restarts
+            if track_best:
+                # Quality: every finished attempt (success or not) moves on
+                # to the next seed while budget remains.
+                over = run & attempt_over
+                pending_next = over & can_retry
+                stopped = stopped | (over & ~can_retry)
+            else:
+                failed_over = run & attempt_over & ~succ_now
+                pending_next = failed_over & can_retry
+                stopped = stopped | (run & ((attempt_over & succ_now)
+                                            | (failed_over & ~can_retry)))
+            cur_idx_next = jnp.where(pending_next, next_idx, cur_idx)
+            it_next = jnp.where(pending_next, 0, it_next)
+        else:
+            pending_next = jnp.zeros_like(pending)
+            cur_idx_next = cur_idx
+            stopped = stopped | (run & attempt_over)
+
+        if success_stops_group and len(lane_shape) >= 2:
+            # Speed mode: once any restart of a pose succeeds, the pose's
+            # remaining lanes freeze — the deterministic analog of the
+            # reference's cross-thread early-exit flag (lib.rs:269,382-384).
+            # Winner = earliest success by iteration, ties broken by lowest
+            # restart index (lane-local property, so batch-layout-invariant).
+            pose_done = jnp.any(success, axis=-1, keepdims=True)
+            stopped = stopped | jnp.broadcast_to(pose_done, lane_shape)
+            pending_next = pending_next & ~pose_done
+
+        return (tuple(x_next), tuple(e_next), jt_next, f_next,
+                lam_next, nu_next, stopped, success, it + 1,
+                cur_idx_next, it_next, pending_next, best)
+
+    out = jax.lax.while_loop(cond, body, init)
+    if track_best:
+        bx, bd, bf, bi = out[12]
+        has_best = jnp.isfinite(bd)
+        x_final = jnp.stack(list(bx), axis=-1)
+        return LMResult(x=x_final, f=bf, success=has_best, iters=out[8],
+                        restart_index=bi)
+    x_final = jnp.stack(list(out[0]), axis=-1)
+    restart_idx = out[9] if reseed else None
+    return LMResult(x=x_final, f=out[3], success=out[7], iters=out[8],
+                    restart_index=restart_idx)

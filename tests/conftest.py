@@ -23,3 +23,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# The unrolled SoA solver bodies take O(30 s) to compile; cache compiled
+# executables on disk so repeat test runs don't pay it again.
+jax.config.update("jax_compilation_cache_dir", "/tmp/optik_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

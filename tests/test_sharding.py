@@ -44,7 +44,7 @@ def test_sharded_matches_unsharded(robot, shape):
     ref = robot.ik_batch(cfg, tr, tt, x0)
 
     m = mesh_mod.make_mesh(jax.devices()[:n_dev], data=data, seed=seed)
-    got = mesh_mod.ik_sharded(robot.params, cfg, tr, tt, x0, m)
+    got = mesh_mod.ik_sharded(robot, cfg, tr, tt, x0, m)
 
     np.testing.assert_array_equal(np.asarray(got.found), np.asarray(ref.found))
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
@@ -60,7 +60,7 @@ def test_mesh_validation(robot):
     lo, hi = robot.joint_limits()
     x0 = np.tile(np.clip(np.zeros(7), lo, hi), (3, 1))
     with pytest.raises(ValueError, match="not divisible"):
-        mesh_mod.ik_sharded(robot.params, SolverConfig(max_restarts=16),
+        mesh_mod.ik_sharded(robot, SolverConfig(max_restarts=16),
                             tr, tt, x0, m)
     with pytest.raises(ValueError, match="mesh shape"):
         mesh_mod.make_mesh(jax.devices()[:4], data=3, seed=2)
