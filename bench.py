@@ -72,15 +72,23 @@ def main():
 
     # Timed runs on fresh batches (target generation excluded, as in the
     # reference loop which times only robot.ik()).
+    import contextlib
+    import os
+
+    prof_dir = os.environ.get("OPTIK_PROFILE")
+    prof = (jax.profiler.trace(prof_dir) if prof_dir
+            else contextlib.nullcontext())
+
     iters = 5
     batches = [make_batch() for _ in range(iters)]
     found = 0
-    t0 = time.perf_counter()
-    for tr, tt, x0 in batches:
-        res = solve(tr, tt, x0)
-        jax.block_until_ready(res.found)
-        found += int(np.asarray(res.found).sum())
-    dt = time.perf_counter() - t0
+    with prof:
+        t0 = time.perf_counter()
+        for tr, tt, x0 in batches:
+            res = solve(tr, tt, x0)
+            jax.block_until_ready(res.found)
+            found += int(np.asarray(res.found).sum())
+        dt = time.perf_counter() - t0
 
     solves_per_s = B * iters / dt
     success = found / (B * iters)

@@ -30,6 +30,46 @@ from ..math.so3 import EPSILON
 Mat = List[List]
 Vec = List
 
+# atan2 backend: Mosaic (Pallas TPU) has no atan2 primitive, so kernels
+# switch to a branchless Cephes-style polynomial (f32-accurate, ~1e-7);
+# everywhere else the exact jnp.arctan2 is used (f64 golden tests).
+_APPROX_ATAN2 = False
+
+
+class approx_atan2:
+    """Context manager: trace atan2 as the polynomial approximation."""
+
+    def __enter__(self):
+        global _APPROX_ATAN2
+        self._prev = _APPROX_ATAN2
+        _APPROX_ATAN2 = True
+
+    def __exit__(self, *exc):
+        global _APPROX_ATAN2
+        _APPROX_ATAN2 = self._prev
+
+
+def _atan_nonneg(t):
+    """atan(t) for t >= 0, branchless (Cephes atanf range reduction +
+    degree-4 polynomial in t^2; public-domain constants)."""
+    big = t > 2.414213562373095    # tan(3*pi/8)
+    mid = (t > 0.4142135623730950) & ~big  # tan(pi/8)
+    x = jnp.where(big, -1.0 / jnp.maximum(t, 1e-30),
+                  jnp.where(mid, (t - 1.0) / (t + 1.0), t))
+    y0 = jnp.where(big, jnp.pi / 2, jnp.where(mid, jnp.pi / 4, 0.0))
+    z = x * x
+    p = ((8.05374449538e-2 * z - 1.38776856032e-1) * z
+         + 1.99777106478e-1) * z - 3.33329491539e-1
+    return y0 + p * z * x + x
+
+
+def atan2_nonneg(y, x):
+    """atan2(y, x) restricted to y >= 0 (quadrants I/II), kernel-safe."""
+    if not _APPROX_ATAN2:
+        return jnp.arctan2(y, x)
+    r = _atan_nonneg(y / jnp.maximum(jnp.abs(x), 1e-30))
+    return jnp.where(x < 0, jnp.pi - r, r)
+
 
 # --- generic small linear algebra (unrolled at trace time) -----------------
 
@@ -162,7 +202,7 @@ def quat_log(q: Vec) -> Vec:
     small = v2 <= EPSILON
     v2s = jnp.where(small, 1.0, v2)
     vn = jnp.sqrt(v2s)
-    exact = jnp.arctan2(vn, w) / vn
+    exact = atan2_nonneg(vn, w) / vn
     w3 = w * w * w
     taylor = 1.0 / w - v2 / (3.0 * w3) + (v2 * v2) / (5.0 * w3 * w * w)
     t = 2.0 * jnp.where(small, taylor, exact)

@@ -4,33 +4,36 @@ Semantics are identical to solver/lm.py (same stopping criteria, same
 Nielsen damping, same success classification — see that module for the
 reference mapping); the differences are representational and structural:
 
-  * all small matrices/vectors are unrolled into per-component element-wise
-    ops on lane-shaped arrays (see ops/soa.py for why this matters on TPU);
+  * all small-matrix math is unrolled into per-component element-wise ops on
+    lane-shaped arrays (see ops/soa.py for why this matters on TPU);
   * exactly ONE fused residual+Jacobian evaluation per loop iteration — and
     none outside the loop.  The first iteration of every attempt (including
     the very first, and every reseed) is an "adopt" step: the lane evaluates
     its seed point, takes its cost, and only checks the stopval criterion.
     Subsequent iterations propose a damped-GN step from the carried (e, J),
-    and the trial evaluation doubles as the next step's Jacobian.  This
-    keeps the traced graph at ~half the naive size (compile time of the
-    unrolled body is a real cost) and halves the FK FLOPs per iteration;
+    and the trial evaluation doubles as the next step's Jacobian;
   * continuous reseeding: the deterministic replacement for the reference's
     work-stealing restart stream (lib.rs:298-301).  With a seed table
     (R, A) and S lanes per pose, lane l strides restart indices l, l+S,
     l+2S, ...; a lane whose attempt ends without success adopts its next
     seed on the following iteration instead of idling until the batch
-    drains.  The restart *index* at success is tracked so Speed mode's
-    "first success" stays batch-layout-invariant.
+    drains;
+  * Speed mode freezes a whole pose at its earliest success (the
+    deterministic analog of the reference's cross-thread abort flag);
+    Quality mode explores the full restart budget, tracking a per-lane best
+    success by distance to the caller's seed (lib.rs:398-408).
 
-Shape-agnostic: the lane axes can be any shape — (L,) for flat batches,
-(B, S) for mesh-sharded pose x seed grids — because every operation is
-element-wise over them.  The chain spec enters as *static Python floats*
-baked into the trace (use solver/ik.py's factory: one compile per robot).
+The loop core (:func:`lm_loop`) operates purely on *component lists* of
+lane-shaped arrays, so the exact same code runs under jit on sliced HBM
+arrays (this module's :func:`solve_soa`) and inside a Pallas kernel on VMEM
+blocks.  Lane axes can be any shape — (L,), (B, S), (S, P) — every op is
+element-wise over them; the seed-group axis for Speed-mode pose freezing is
+a parameter.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,46 +42,37 @@ from ..ops import soa
 from .lm import LMOptions, LMResult
 
 
-def solve_soa(consts, lower, upper, opts: LMOptions,
-              x0: jnp.ndarray,          # (..., A)
-              tgt_r: jnp.ndarray,       # (..., 3, 3) broadcastable to lanes
-              tgt_t: jnp.ndarray,       # (..., 3)
-              ee_r: Optional[jnp.ndarray] = None,
-              ee_t: Optional[jnp.ndarray] = None,
-              wl=None, wa=None,
-              seed_table: Optional[jnp.ndarray] = None,  # (R, A)
-              lane_index: Optional[jnp.ndarray] = None,  # broadcastable ints
-              total_restarts: int = 0,
-              success_stops_group: bool = False,
-              explore_full_budget: bool = False,
-              quality_x0: Optional[jnp.ndarray] = None) -> LMResult:
-    """Run lockstep projected LM; lane axes = x0.shape[:-1].
+class LoopOut(NamedTuple):
+    """lm_loop result: component lists over the lane shape."""
 
-    ``consts`` from soa.chain_constants(spec); ``lower``/``upper`` are
-    python float lists (static joint limits).  See module docstring for the
-    reseed contract.
-    """
-    a = x0.shape[-1]
-    lane_shape = x0.shape[:-1]
-    dtype = x0.dtype
-    s_lanes = lane_shape[-1] if lane_shape else 1
-    reseed = (seed_table is not None and total_restarts > s_lanes)
-    # Quality mode must examine the full restart budget (the reference runs
-    # every restart and takes the min-seed-distance success, lib.rs:398-408):
-    # successful attempts record a per-lane best and the lane keeps
-    # reseeding; Speed mode lanes stop at their first success.
+    xs: tuple            # A components: final (or best) iterate
+    f: jnp.ndarray       # final (or best) cost
+    success: jnp.ndarray
+    iters: jnp.ndarray   # () global iterations executed
+    restart_index: Optional[jnp.ndarray]  # None without reseeding
+
+
+def lm_loop(consts, lower, upper, opts: LMOptions,
+            xs0, tgtm, tgtt, eem=None, eev=None, weight6=None, *,
+            seed_lookup=None,       # callable: idx array -> A components
+            lane_index=None,        # int array broadcastable to lane shape
+            total_restarts: int = 0,
+            s_lanes: int = 1,       # lanes per pose (stride)
+            success_stops_group: bool = False,
+            group_axis: int = -1,
+            explore_full_budget: bool = False,
+            qx0=None                # A components: caller's seed (quality)
+            ) -> LoopOut:
+    """The lockstep LM loop on component lists (see module docstring)."""
+    a = len(xs0)
+    lane_shape = jnp.broadcast_shapes(*[jnp.shape(x) for x in xs0])
+    dtype = xs0[0].dtype
+
+    reseed = seed_lookup is not None and total_restarts > s_lanes
     track_best = reseed and explore_full_budget
     rounds = -(-total_restarts // s_lanes) if reseed else 1
-    # +1: the first iteration of each attempt only evaluates the seed.
+    # +1 per round: each attempt's first iteration only evaluates its seed.
     max_total_iters = (opts.max_iters + 1) * rounds
-
-    tgtm = [[tgt_r[..., i, j] for j in range(3)] for i in range(3)]
-    tgtt = [tgt_t[..., i] for i in range(3)]
-    eem = eev = None
-    if ee_r is not None:
-        eem = [[ee_r[..., i, j] for j in range(3)] for i in range(3)]
-        eev = [ee_t[..., i] for i in range(3)]
-    weight6 = soa.weight6_from_config(tgtm, wl, wa)
 
     def rj(xs):
         e, jt = soa.residual_and_jtask(consts, xs, tgtm, tgtt, eem, eev,
@@ -86,24 +80,19 @@ def solve_soa(consts, lower, upper, opts: LMOptions,
         f = jnp.broadcast_to(soa.vec_dot(e, e), lane_shape)
         return e, jt, f
 
-    xs0 = [jnp.broadcast_to(x0[..., j], lane_shape) for j in range(a)]
+    xs0 = [jnp.broadcast_to(x, lane_shape) for x in xs0]
     zeros = jnp.zeros(lane_shape, dtype)
     e0 = [zeros] * 6
     jt0 = (zeros,) * (6 * a)
     f0 = jnp.full(lane_shape, jnp.inf, dtype)
 
     if reseed:
-        idx0 = jnp.broadcast_to(
-            jnp.asarray(lane_index, jnp.int32), lane_shape)
-        tables = [jnp.asarray(seed_table[:, p], dtype) for p in range(a)]
+        idx0 = jnp.broadcast_to(jnp.asarray(lane_index, jnp.int32),
+                                lane_shape)
     else:
         idx0 = jnp.zeros((), jnp.int32)  # placeholder, traced away
-        tables = None
 
     if track_best:
-        # Distance is measured to the *caller's* seed (lib.rs:402-407), not
-        # to each lane's own restart seed.
-        qx0 = [quality_x0[..., p] for p in range(a)]
         best0 = (tuple([zeros] * a),                       # best x
                  jnp.full(lane_shape, jnp.inf, dtype),     # best seed dist
                  jnp.full(lane_shape, jnp.inf, dtype),     # best cost
@@ -152,7 +141,7 @@ def solve_soa(consts, lower, upper, opts: LMOptions,
         # next stride seed after a scheduled reseed (cur_idx was advanced
         # when the attempt ended).
         if reseed:
-            fresh_seed = [jnp.take(tables[p], cur_idx) for p in range(a)]
+            fresh_seed = seed_lookup(cur_idx)
             is_first = it == 0
             adopt_x = [jnp.where(is_first, xs[p], fresh_seed[p])
                        for p in range(a)]
@@ -258,8 +247,8 @@ def solve_soa(consts, lower, upper, opts: LMOptions,
             # remaining lanes freeze — the deterministic analog of the
             # reference's cross-thread early-exit flag (lib.rs:269,382-384).
             # Winner = earliest success by iteration, ties broken by lowest
-            # restart index (lane-local property, so batch-layout-invariant).
-            pose_done = jnp.any(success, axis=-1, keepdims=True)
+            # restart index (lane-local property -> batch-layout-invariant).
+            pose_done = jnp.any(success, axis=group_axis, keepdims=True)
             stopped = stopped | jnp.broadcast_to(pose_done, lane_shape)
             pending_next = pending_next & ~pose_done
 
@@ -270,11 +259,57 @@ def solve_soa(consts, lower, upper, opts: LMOptions,
     out = jax.lax.while_loop(cond, body, init)
     if track_best:
         bx, bd, bf, bi = out[12]
-        has_best = jnp.isfinite(bd)
-        x_final = jnp.stack(list(bx), axis=-1)
-        return LMResult(x=x_final, f=bf, success=has_best, iters=out[8],
-                        restart_index=bi)
-    x_final = jnp.stack(list(out[0]), axis=-1)
-    restart_idx = out[9] if reseed else None
-    return LMResult(x=x_final, f=out[3], success=out[7], iters=out[8],
-                    restart_index=restart_idx)
+        return LoopOut(xs=bx, f=bf, success=jnp.isfinite(bd), iters=out[8],
+                       restart_index=bi)
+    return LoopOut(xs=out[0], f=out[3], success=out[7], iters=out[8],
+                   restart_index=out[9] if reseed else None)
+
+
+def solve_soa(consts, lower, upper, opts: LMOptions,
+              x0: jnp.ndarray,          # (..., A)
+              tgt_r: jnp.ndarray,       # (..., 3, 3) broadcastable to lanes
+              tgt_t: jnp.ndarray,       # (..., 3)
+              ee_r: Optional[jnp.ndarray] = None,
+              ee_t: Optional[jnp.ndarray] = None,
+              wl=None, wa=None,
+              seed_table: Optional[jnp.ndarray] = None,  # (R, A)
+              lane_index: Optional[jnp.ndarray] = None,  # broadcastable ints
+              total_restarts: int = 0,
+              success_stops_group: bool = False,
+              explore_full_budget: bool = False,
+              quality_x0: Optional[jnp.ndarray] = None) -> LMResult:
+    """Array-in/array-out wrapper around :func:`lm_loop`.
+
+    Lane axes = x0.shape[:-1]; the seed-group axis (for Speed-mode pose
+    freezing) is the last lane axis.
+    """
+    a = x0.shape[-1]
+    lane_shape = x0.shape[:-1]
+    s_lanes = lane_shape[-1] if lane_shape else 1
+
+    xs0 = [x0[..., j] for j in range(a)]
+    tgtm = [[tgt_r[..., i, j] for j in range(3)] for i in range(3)]
+    tgtt = [tgt_t[..., i] for i in range(3)]
+    eem = eev = None
+    if ee_r is not None:
+        eem = [[ee_r[..., i, j] for j in range(3)] for i in range(3)]
+        eev = [ee_t[..., i] for i in range(3)]
+    weight6 = soa.weight6_from_config(tgtm, wl, wa)
+
+    seed_lookup = None
+    if seed_table is not None and total_restarts > s_lanes:
+        tables = [jnp.asarray(seed_table[:, p], x0.dtype) for p in range(a)]
+        seed_lookup = lambda idx: [jnp.take(t, idx) for t in tables]
+    qx0 = None
+    if quality_x0 is not None:
+        qx0 = [quality_x0[..., p] for p in range(a)]
+
+    out = lm_loop(consts, lower, upper, opts, xs0, tgtm, tgtt, eem, eev,
+                  weight6, seed_lookup=seed_lookup, lane_index=lane_index,
+                  total_restarts=total_restarts, s_lanes=s_lanes,
+                  success_stops_group=success_stops_group, group_axis=-1,
+                  explore_full_budget=explore_full_budget, qx0=qx0)
+
+    return LMResult(x=jnp.stack(list(out.xs), axis=-1), f=out.f,
+                    success=out.success, iters=out.iters,
+                    restart_index=out.restart_index)
