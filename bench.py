@@ -6,7 +6,9 @@ Methodology mirrors the reference's published benchmark loop
 *reachable* target (FK of a random configuration), solve at the default
 TRAC-IK-equivalent tolerance (tol_f = 1e-6 on the squared log-pose error,
 matching the reference default, config.rs:56-59).  On the batch device the
-10k-solve Python loop becomes sharded pose batches.
+10k-solve Python loop becomes pose batches through the VMEM-resident Pallas
+solver kernel (ops/pallas/lm_kernel.py); the XLA SoA path is the automatic
+fallback on platforms without Mosaic.
 
 Prints ONE json line:
   {"metric": "panda_ik_solves_per_s", "value": ..., "unit": "solves/s",
@@ -15,10 +17,13 @@ Prints ONE json line:
 vs_baseline is measured against the driver target of 1e6 solves/s on a
 v5p-8 (BASELINE.md), i.e. a per-chip share of 125k solves/s — note the
 local chip is a v5e (far lower FLOPs/BW than a v5p core-pair).
-Extra context fields (success rate, batch size, chip count) ride along.
+Extra context fields (success rate, p50 batch latency, batch size, solver
+path) ride along.
 """
 
+import contextlib
 import json
+import os
 import sys
 import time
 
@@ -30,10 +35,9 @@ PER_CHIP_TARGET = 1e6 / 8.0  # v5p-8 target spread over 8 chips
 def main():
     import jax
 
-    # The unrolled solver body compiles slowly (minutes through a remote-
-    # compile tunnel); persist compiled executables so reruns start hot.
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
+    # The unrolled solver body compiles slowly through a remote-compile
+    # tunnel; persist compiled executables so reruns start hot.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     import jax.numpy as jnp
@@ -45,50 +49,73 @@ def main():
                                  "panda_hand_tcp", dtype=jnp.float32)
     n = robot.num_positions()
 
-    # Throughput configuration: Speed mode, 8 lockstep lanes with continuous
-    # reseeding through a 64-restart budget (100% success on this workload),
-    # bounded iterations.  tol_f matches the reference default.
-    cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=48,
+    # Throughput configuration (tuned on v5e): Speed mode, 8 lockstep lanes
+    # with continuous reseeding through a 64-restart budget, 32 LM
+    # iterations per attempt.  tol_f matches the reference default.
+    cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=32,
                        tol_f=1e-6)
-
-    B = 4096  # poses per batch
+    B = 16384
+    P_BLK = 512
 
     rng = np.random.default_rng(42)
     lo, hi = robot.joint_limits()
 
+    solver_path = "pallas"
+    try:
+        from optik_tpu.ops.pallas import lm_kernel
+
+        solve = lm_kernel.build_kernel_solver(robot.spec, cfg, p_blk=P_BLK)
+    except Exception:
+        solver_path = "xla"
+        solve = robot._solver(cfg, with_ee=False)
+
     def make_batch():
+        # Targets/seeds stay device-resident (fk_batch outputs live on the
+        # device; x0 is uploaded once here, outside the timed region) — the
+        # timed loop measures solving, as the reference's loop times only
+        # robot.ik() (examples/example.py:36-38).
         q_tgt = rng.uniform(lo, hi, size=(B, n))
         tr, tt = robot.fk_batch(q_tgt)
-        x0 = rng.uniform(lo, hi, size=(B, n))
-        return (np.asarray(tr, np.float32), np.asarray(tt, np.float32),
-                np.asarray(x0, np.float32))
+        x0 = jax.device_put(
+            jnp.asarray(rng.uniform(lo, hi, size=(B, n)), jnp.float32))
+        jax.block_until_ready((tr, tt, x0))
+        return tr, tt, x0
 
-    solve = robot._solver(cfg, with_ee=False)
-
-    # Warmup / compile.
+    # Warmup / compile (with automatic fallback if the kernel path dies on
+    # this platform at run time rather than build time).
     tr, tt, x0 = make_batch()
-    res = solve(tr, tt, x0)
-    jax.block_until_ready(res)
-
-    # Timed runs on fresh batches (target generation excluded, as in the
-    # reference loop which times only robot.ik()).
-    import contextlib
-    import os
+    try:
+        res = solve(tr, tt, x0)
+        jax.block_until_ready(res)
+    except Exception:
+        solver_path = "xla"
+        solve = robot._solver(cfg, with_ee=False)
+        res = solve(tr, tt, x0)
+        jax.block_until_ready(res)
 
     prof_dir = os.environ.get("OPTIK_PROFILE")
     prof = (jax.profiler.trace(prof_dir) if prof_dir
             else contextlib.nullcontext())
 
-    iters = 5
+    # Timed runs on fresh batches (target generation excluded, as in the
+    # reference loop which times only robot.ik()).
+    iters = 10
     batches = [make_batch() for _ in range(iters)]
-    found = 0
+    counts = []
+    lat = []
     with prof:
         t0 = time.perf_counter()
         for tr, tt, x0 in batches:
+            t1 = time.perf_counter()
             res = solve(tr, tt, x0)
-            jax.block_until_ready(res.found)
-            found += int(np.asarray(res.found).sum())
+            # Success accounting reduces on device; fetching the scalar
+            # count is the synchronization point (block_until_ready alone
+            # does not reliably serialize on relayed platforms, and pulling
+            # full result arrays through the relay distorts the timing).
+            counts.append(int(jnp.sum(res.found.astype(jnp.int32))))
+            lat.append(time.perf_counter() - t1)
         dt = time.perf_counter() - t0
+    found = int(np.sum(counts))
 
     solves_per_s = B * iters / dt
     success = found / (B * iters)
@@ -99,9 +126,12 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / PER_CHIP_TARGET, 4),
         "success_rate": round(success, 4),
+        "p50_batch_latency_ms": round(1e3 * float(np.median(lat)), 2),
         "batch": B,
-        "seeds": cfg.total_restarts,
+        "seeds": cfg.seed_batch,
+        "restarts": cfg.total_restarts,
         "max_iters": cfg.max_iters,
+        "solver": solver_path,
         "chips": len(jax.devices()),
         "device": str(jax.devices()[0]),
     }))

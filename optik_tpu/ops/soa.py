@@ -371,6 +371,34 @@ def fk_joints(consts, q: Vec):
     return frames, r_ee, t_ee
 
 
+def fk_with_ee(consts, q: Vec, ee_r: Mat = None, ee_t: Vec = None):
+    """FK + optional EE offset: (frames, r_ee, t_ee)."""
+    frames, r_ee, t_ee = fk_joints(consts, q)
+    if ee_r is not None:
+        t_ee = vec_add(mat_vec(r_ee, ee_t), t_ee)
+        r_ee = mat_mul(r_ee, ee_r)
+    return frames, r_ee, t_ee
+
+
+def jacobian_cols(consts, frames, r_ee: Mat, t_ee: Vec):
+    """Geometric Jacobian columns (EE/local frame), one 6-list per joint."""
+    axes = consts[2]
+    pris = consts[3]
+    cols = []
+    for j in range(len(frames)):
+        rj, pj = frames[j]
+        dir_w = mat_vec(rj, axes[j])
+        if pris[j]:
+            lin_l = mat_tvec(r_ee, dir_w)
+            cols.append(lin_l + [0.0, 0.0, 0.0])
+        else:
+            lin_w = vec_cross(dir_w, vec_sub(t_ee, pj))
+            lin_l = mat_tvec(r_ee, lin_w)
+            ang_l = mat_tvec(r_ee, dir_w)
+            cols.append(lin_l + ang_l)
+    return cols
+
+
 def residual_and_jtask(consts, q: Vec, tgt_r: Mat, tgt_t: Vec,
                        ee_r: Mat = None, ee_t: Vec = None,
                        weight6: Mat = None):
@@ -380,10 +408,7 @@ def residual_and_jtask(consts, q: Vec, tgt_r: Mat, tgt_t: Vec,
     error r = M log6(T_tgt^-1 T(q)) and its Jacobian M Jlog6 Jgeo — the
     component-form equivalent of ops/objective.residual_and_jacobian.
     """
-    frames, r_ee, t_ee = fk_joints(consts, q)
-    if ee_r is not None:
-        t_ee = vec_add(mat_vec(r_ee, ee_t), t_ee)
-        r_ee = mat_mul(r_ee, ee_r)
+    frames, r_ee, t_ee = fk_with_ee(consts, q, ee_r, ee_t)
 
     # X = T_tgt^-1 * T_ee
     xr = mat_mul(mat_t(tgt_r), r_ee)
@@ -392,24 +417,8 @@ def residual_and_jtask(consts, q: Vec, tgt_r: Mat, tgt_t: Vec,
     w_log = mat_log(xr)
     e = se3_log_from_w(w_log, xt)
 
-    # Geometric Jacobian columns in the EE frame.
-    axes = consts[2]
-    pris = consts[3]
     a = len(q)
-    cols = []
-    for j in range(a):
-        rj, pj = frames[j]
-        dir_w = mat_vec(rj, axes[j])
-        if pris[j]:
-            lin_w = dir_w
-            lin_l = mat_tvec(r_ee, lin_w)
-            cols.append(lin_l + [0.0, 0.0, 0.0])
-        else:
-            ang_w = dir_w
-            lin_w = vec_cross(dir_w, vec_sub(t_ee, pj))
-            lin_l = mat_tvec(r_ee, lin_w)
-            ang_l = mat_tvec(r_ee, ang_w)
-            cols.append(lin_l + ang_l)
+    cols = jacobian_cols(consts, frames, r_ee, t_ee)
 
     jr, qq = se3_right_jacobian_blocks(w_log, xt)
     # J_task = [[jr, qq], [0, jr]] @ Jgeo  -> 6 x A

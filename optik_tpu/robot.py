@@ -138,14 +138,56 @@ class Robot:
         r, t = _fk_jit(self.params, jnp.asarray(x, self.dtype), ee_r, ee_t)
         return _pose_to_mat(r, t)
 
+    @property
+    def _consts(self):
+        # Static SoA chain constants (cached; see ops/soa.py).
+        c = getattr(self, "_consts_cache", None)
+        if c is None:
+            from .ops import soa
+
+            c = soa.chain_constants(self.spec)
+            self._consts_cache = c
+        return c
+
+    def _fk_batch_fn(self):
+        # jitted once per robot (a fresh closure per call would recompile
+        # on every invocation).
+        fn = getattr(self, "_fk_batch_cache", None)
+        if fn is not None:
+            return fn
+        from .ops import soa
+
+        consts = self._consts
+        a = self.num_positions()
+
+        @with_f32_matmuls
+        @jax.jit
+        def fn(x, ee_r, ee_t):
+            comps = [x[..., j] for j in range(a)]
+            eem = eev = None
+            if ee_r is not None:
+                eem = [[ee_r[i, j] for j in range(3)] for i in range(3)]
+                eev = [ee_t[i] for i in range(3)]
+            _, r_ee, t_ee = soa.fk_with_ee(consts, comps, eem, eev)
+            r = jnp.stack([jnp.stack(
+                [jnp.broadcast_to(r_ee[i][j], x.shape[:-1])
+                 for j in range(3)], axis=-1) for i in range(3)], axis=-2)
+            t = jnp.stack([jnp.broadcast_to(t_ee[i], x.shape[:-1])
+                           for i in range(3)], axis=-1)
+            return r, t
+
+        self._fk_batch_cache = fn
+        return fn
+
     def fk_batch(self, x, ee_offset=None):
-        """Batched EE poses: (..., A) -> ((..., 3, 3), (..., 3)) on device."""
+        """Batched EE poses: (..., A) -> ((..., 3, 3), (..., 3)) on device.
+
+        Computes on the SoA fast path (batch-in-lanes layout) and packs the
+        results into conventional (..., 3, 3)/(..., 3) arrays at the end.
+        """
         x = jnp.asarray(x, self.dtype)
         ee_r, ee_t = self._ee_offset(ee_offset)
-        fn = K.fk_ee
-        for _ in range(x.ndim - 1):
-            fn = jax.vmap(fn, in_axes=(None, 0, None, None))
-        return with_f32_matmuls(jax.jit(fn))(self.params, x, ee_r, ee_t)
+        return self._fk_batch_fn()(x, ee_r, ee_t)
 
     def joint_jacobian(self, x, ee_offset=None) -> np.ndarray:
         """Local-frame geometric Jacobian (6, N) (optik-py/src/lib.rs:91-101)."""
@@ -154,13 +196,38 @@ class Robot:
         return np.asarray(
             _jac_jit(self.params, jnp.asarray(x, self.dtype), ee_r, ee_t))
 
+    def _jac_batch_fn(self):
+        fn = getattr(self, "_jac_batch_cache", None)
+        if fn is not None:
+            return fn
+        from .ops import soa
+
+        consts = self._consts
+        a = self.num_positions()
+
+        @with_f32_matmuls
+        @jax.jit
+        def fn(x, ee_r, ee_t):
+            comps = [x[..., j] for j in range(a)]
+            eem = eev = None
+            if ee_r is not None:
+                eem = [[ee_r[i, j] for j in range(3)] for i in range(3)]
+                eev = [ee_t[i] for i in range(3)]
+            frames, r_ee, t_ee = soa.fk_with_ee(consts, comps, eem, eev)
+            cols = soa.jacobian_cols(consts, frames, r_ee, t_ee)
+            lane = x.shape[:-1]
+            return jnp.stack([jnp.stack(
+                [jnp.broadcast_to(cols[j][i], lane) for j in range(a)],
+                axis=-1) for i in range(6)], axis=-2)
+
+        self._jac_batch_cache = fn
+        return fn
+
     def jacobian_batch(self, x, ee_offset=None):
+        """Batched local-frame Jacobians: (..., A) -> (..., 6, A)."""
         x = jnp.asarray(x, self.dtype)
         ee_r, ee_t = self._ee_offset(ee_offset)
-        fn = K.joint_jacobian
-        for _ in range(x.ndim - 1):
-            fn = jax.vmap(fn, in_axes=(None, 0, None, None))
-        return with_f32_matmuls(jax.jit(fn))(self.params, x, ee_r, ee_t)
+        return self._jac_batch_fn()(x, ee_r, ee_t)
 
     # --- inverse kinematics -----------------------------------------------
 

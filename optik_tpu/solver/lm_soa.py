@@ -100,23 +100,28 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
     else:
         best0 = ()
 
+    # Boolean lane masks are carried as int32: Mosaic (Pallas TPU) cannot
+    # legalize vector<i1> loop carries, and the cast is free elsewhere.
     init = (tuple(xs0), tuple(e0), jt0, f0,
             jnp.full(lane_shape, opts.lam_init, dtype),
             jnp.full(lane_shape, 2.0, dtype),
-            jnp.zeros(lane_shape, bool),       # stopped
-            jnp.zeros(lane_shape, bool),       # success
+            jnp.zeros(lane_shape, jnp.int32),  # stopped
+            jnp.zeros(lane_shape, jnp.int32),  # success
             jnp.zeros((), jnp.int32),          # global iteration
             idx0,                              # current restart index
             jnp.zeros(lane_shape, jnp.int32),  # per-attempt iteration
-            jnp.ones(lane_shape, bool),        # pending: adopt x this iter
+            jnp.ones(lane_shape, jnp.int32),   # pending: adopt x this iter
             best0)
 
     def cond(c):
-        return (c[8] < max_total_iters) & ~jnp.all(c[6])
+        return (c[8] < max_total_iters) & ~jnp.all(c[6] > 0)
 
     def body(c):
-        (xs_t, e_t, jt_flat, f, lam, nu, stopped, success, it,
-         cur_idx, it_lane, pending, best) = c
+        (xs_t, e_t, jt_flat, f, lam, nu, stopped_i, success_i, it,
+         cur_idx, it_lane, pending_i, best) = c
+        stopped = stopped_i > 0
+        success = success_i > 0
+        pending = pending_i > 0
         xs = list(xs_t)
         e = list(e_t)
         jt = [[jt_flat[i * a + p] for p in range(a)] for i in range(6)]
@@ -253,15 +258,16 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
             pending_next = pending_next & ~pose_done
 
         return (tuple(x_next), tuple(e_next), jt_next, f_next,
-                lam_next, nu_next, stopped, success, it + 1,
-                cur_idx_next, it_next, pending_next, best)
+                lam_next, nu_next, stopped.astype(jnp.int32),
+                success.astype(jnp.int32), it + 1,
+                cur_idx_next, it_next, pending_next.astype(jnp.int32), best)
 
     out = jax.lax.while_loop(cond, body, init)
     if track_best:
         bx, bd, bf, bi = out[12]
         return LoopOut(xs=bx, f=bf, success=jnp.isfinite(bd), iters=out[8],
                        restart_index=bi)
-    return LoopOut(xs=out[0], f=out[3], success=out[7], iters=out[8],
+    return LoopOut(xs=out[0], f=out[3], success=out[7] > 0, iters=out[8],
                    restart_index=out[9] if reseed else None)
 
 
