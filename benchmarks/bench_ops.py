@@ -14,13 +14,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, n=10):
+def _sync(out):
+    """Force completion: fetch one scalar (block_until_ready does not
+    reliably serialize on relayed platforms)."""
+    import numpy as np
+
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf.ravel()[0])
+
+
+def timeit(fn, *args, n=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -40,9 +49,8 @@ def main():
     lo, hi = robot.joint_limits()
     q = jnp.asarray(rng.uniform(lo, hi, size=(L, a)), jnp.float32)
     qt = rng.uniform(lo, hi, size=(L, a))
-    tr, tt = robot.fk_batch(qt)
-    tr = jnp.asarray(np.asarray(tr), jnp.float32)
-    tt = jnp.asarray(np.asarray(tt), jnp.float32)
+    tr, tt = robot.fk_batch(qt)  # device-resident f32 (no host round trip:
+    # the relayed link's bulk device->host path is slow and unreliable)
 
     consts = soa.chain_constants(robot.spec)
 

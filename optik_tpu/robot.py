@@ -81,6 +81,44 @@ class Robot:
             self._solvers[key] = fn
         return fn
 
+    def _kernel_solver(self, config: SolverConfig):
+        """(solver, p_blk) on the Pallas path, or None when unavailable.
+
+        Only used on TPU backends (the kernel targets Mosaic); any build
+        failure permanently falls back to the XLA path for this robot.
+        The pose-block width shrinks as the seed-lane count grows so the
+        solver state (~75 lane-shaped f32 arrays) stays within VMEM.
+        """
+        if getattr(self, "_kernel_broken", False):
+            return None
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            return None
+        if platform not in ("tpu", "axon"):
+            return None
+        s = min(config.seed_batch, config.total_restarts)
+        if s <= 16:
+            p_blk = 256
+        elif s <= 64:
+            p_blk = 128
+        else:
+            return None  # too much per-block state; XLA path handles it
+        key = ("kernel", config)
+        entry = self._solvers.get(key)
+        if entry is None:
+            try:
+                from .ops.pallas import lm_kernel
+
+                fn = lm_kernel.build_kernel_solver(
+                    self.spec, config, dtype=self.dtype, p_blk=p_blk)
+            except Exception:
+                self._kernel_broken = True
+                return None
+            entry = (fn, p_blk)
+            self._solvers[key] = entry
+        return entry
+
     # --- constructors -----------------------------------------------------
 
     @staticmethod
@@ -269,10 +307,41 @@ class Robot:
         if np.any(x0 < lo) or np.any(x0 > hi):
             raise ValueError("seed joint position outside of joint limits")
         ee_r, ee_t = self._ee_offset(ee_offset)
+
+        tgt_r = jnp.asarray(tgt_r, self.dtype)
+        tgt_t = jnp.asarray(tgt_t, self.dtype)
+        x0j = jnp.asarray(x0, self.dtype)
+
+        # On TPU, route through the VMEM-resident Pallas kernel (~10x the
+        # XLA path); poses pad up to the kernel block size and the padding
+        # is dropped from the result.  EE offsets take the XLA path.
+        if ee_offset is None:
+            kentry = self._kernel_solver(config)
+            if kentry is not None:
+                kfn, blk = kentry
+                b = tgt_r.shape[0]
+                b_pad = -(-b // blk) * blk
+                if b_pad != b:
+                    pad = b_pad - b
+                    tgt_r_p = jnp.concatenate(
+                        [tgt_r, jnp.broadcast_to(tgt_r[-1:],
+                                                 (pad, 3, 3))], axis=0)
+                    tgt_t_p = jnp.concatenate(
+                        [tgt_t, jnp.broadcast_to(tgt_t[-1:], (pad, 3))],
+                        axis=0)
+                    x0_p = jnp.concatenate(
+                        [x0j, jnp.broadcast_to(x0j[-1:],
+                                               (pad, x0j.shape[1]))], axis=0)
+                else:
+                    tgt_r_p, tgt_t_p, x0_p = tgt_r, tgt_t, x0j
+                res = kfn(tgt_r_p, tgt_t_p, x0_p)
+                if b_pad != b:
+                    res = ik_mod.IKResult(found=res.found[:b], x=res.x[:b],
+                                          cost=res.cost[:b])
+                return res
+
         fn = self._solver(config, ee_offset is not None)
-        return fn(jnp.asarray(tgt_r, self.dtype),
-                  jnp.asarray(tgt_t, self.dtype),
-                  jnp.asarray(x0, self.dtype), ee_r, ee_t)
+        return fn(tgt_r, tgt_t, x0j, ee_r, ee_t)
 
     # --- differential IK --------------------------------------------------
 
