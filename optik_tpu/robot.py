@@ -334,11 +334,19 @@ class Robot:
                                                (pad, x0j.shape[1]))], axis=0)
                 else:
                     tgt_r_p, tgt_t_p, x0_p = tgt_r, tgt_t, x0j
-                res = kfn(tgt_r_p, tgt_t_p, x0_p)
-                if b_pad != b:
-                    res = ik_mod.IKResult(found=res.found[:b], x=res.x[:b],
-                                          cost=res.cost[:b])
-                return res
+                try:
+                    # Mosaic compiles lazily at first execution, so build
+                    # success does not guarantee the kernel runs on this
+                    # platform; fall back to XLA permanently on failure.
+                    res = kfn(tgt_r_p, tgt_t_p, x0_p)
+                except Exception:
+                    self._kernel_broken = True
+                    res = None
+                if res is not None:
+                    if b_pad != b:
+                        res = ik_mod.IKResult(found=res.found[:b],
+                                              x=res.x[:b], cost=res.cost[:b])
+                    return res
 
         fn = self._solver(config, ee_offset is not None)
         return fn(tgt_r, tgt_t, x0j, ee_r, ee_t)

@@ -90,7 +90,9 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
         idx0 = jnp.broadcast_to(jnp.asarray(lane_index, jnp.int32),
                                 lane_shape)
     else:
-        idx0 = jnp.zeros((), jnp.int32)  # placeholder, traced away
+        # Lane-shaped even though unused: Mosaic cannot mix scalar and
+        # vector i32 operands in the loop carry's select chains.
+        idx0 = jnp.zeros(lane_shape, jnp.int32)
 
     if track_best:
         best0 = (tuple([zeros] * a),                       # best x
@@ -207,7 +209,12 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
         if opts.dx_is_success:
             succ_now = succ_now | newly_dx
         success = success | (run & succ_now)
-        it_next = jnp.where(pending & run, 1, it_lane + 1)
+        # Integer selects use full-size operands on both sides: Mosaic's
+        # relayout pass rejects replicated-scalar vs tiled-vector i32
+        # select_n operands ("Invalid relayout ... replicated in
+        # destination but not in source").
+        it_next = jnp.where(pending & run, jnp.ones_like(it_lane),
+                            it_lane + 1)
         attempt_over = (newly_f | newly_df | newly_dx | newly_stuck
                         | (it_next > opts.max_iters))
         # A non-finite adopted point is a dead attempt too.
@@ -241,7 +248,8 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
                 stopped = stopped | (run & ((attempt_over & succ_now)
                                             | (failed_over & ~can_retry)))
             cur_idx_next = jnp.where(pending_next, next_idx, cur_idx)
-            it_next = jnp.where(pending_next, 0, it_next)
+            it_next = jnp.where(pending_next, jnp.zeros_like(it_next),
+                                it_next)
         else:
             pending_next = jnp.zeros_like(pending)
             cur_idx_next = cur_idx
