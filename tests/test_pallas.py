@@ -57,3 +57,47 @@ def test_kernel_matches_xla(robot, mode, restarts, seed_batch):
     np.testing.assert_allclose(np.asarray(got.x)[found],
                                np.asarray(ref.x)[found], atol=2e-2)
     assert np.all(np.asarray(got.cost)[found] <= cfg.tol_f * (1 + 1e-5))
+
+
+def test_cascade_matches_single_shot(robot):
+    """Cascade scheduling: identical found mask, valid solutions."""
+    from optik_tpu.solver import cascade
+
+    cfg = SolverConfig.create("speed", max_restarts=48, seed_batch=8,
+                              max_iters=32)
+    B = 32
+    tr, tt, x0 = make_problem(robot, B, seed=3)
+
+    ref = robot.ik_batch(cfg, tr, tt, x0)
+    fn = cascade.build_cascade_solver(robot.spec, cfg, p_blk=8, tail_div=2,
+                                      interpret=True)
+    got = fn(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+
+    np.testing.assert_array_equal(np.asarray(got.found),
+                                  np.asarray(ref.found))
+    found = np.asarray(got.found)
+    assert np.all(np.asarray(got.cost)[found] <= cfg.tol_f * (1 + 1e-5))
+    # Reported solutions actually reach their targets.
+    xr, xt = robot.fk_batch(np.asarray(got.x)[found])
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(tr)[found],
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(tt)[found],
+                               atol=2e-3)
+
+
+def test_cascade_tail_overflow(robot):
+    """More failures than the tail batch: overflow keeps phase-1 failure,
+    everything still deterministic and well-formed."""
+    from optik_tpu.solver import cascade
+
+    cfg = SolverConfig.create("speed", max_restarts=48, seed_batch=8,
+                              max_iters=4)  # tiny budget -> many failures
+    B = 16
+    tr, tt, x0 = make_problem(robot, B, seed=4)
+    fn = cascade.build_cascade_solver(robot.spec, cfg, p_blk=8, tail_div=8,
+                                      interpret=True)
+    got = fn(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+    got2 = fn(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+    np.testing.assert_array_equal(np.asarray(got.found),
+                                  np.asarray(got2.found))
+    np.testing.assert_array_equal(np.asarray(got.x), np.asarray(got2.x))
