@@ -1,10 +1,14 @@
 """ctypes binding for the native host runtime (liboptik_host).
 
-The native library is the latency path: single-query FK/Jacobian/IK in a few
-microseconds with no device round-trip, mirroring the reference's C ABI +
-C++ surface (optik-cpp).  Built on demand with g++ (no external deps); all
-entry points raise ``RuntimeError`` if no compiler is available, and callers
-(Robot, tests) treat the native path as optional.
+The native library is the latency path: single-query FK/Jacobian/IK/diff-IK
+in a few microseconds with no device round-trip, mirroring the reference's
+C ABI + C++ surface (optik-cpp).  Built on demand with g++ (no external
+deps); all entry points raise ``RuntimeError`` if no compiler is available,
+and callers (Robot, tests) treat the native path as optional.
+
+C/C++ clients consume the same ABI directly: see
+``optik_tpu/native/include/optik_host.h`` (C) and ``optik.hpp`` (C++ RAII
+wrapper), with ``examples/example.cpp`` as the driver.
 """
 
 from __future__ import annotations
@@ -21,6 +25,8 @@ _SRC = pathlib.Path(__file__).parent / "optik_host.cpp"
 _LIB = pathlib.Path(__file__).parent / "liboptik_host.so"
 _lock = threading.Lock()
 _lib = None
+
+_ERR_LEN = 512
 
 
 def build(force: bool = False) -> pathlib.Path:
@@ -48,13 +54,29 @@ def _load():
         lib.optik_host_chain_new.restype = ctypes.c_void_p
         lib.optik_host_chain_new.argtypes = [
             ctypes.c_int, dptr, dptr, dptr, u8ptr, dptr, dptr, dptr, dptr]
+        lib.optik_host_chain_from_urdf_str.restype = ctypes.c_void_p
+        lib.optik_host_chain_from_urdf_str.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int]
+        lib.optik_host_chain_from_urdf_file.restype = ctypes.c_void_p
+        lib.optik_host_chain_from_urdf_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int]
         lib.optik_host_chain_free.argtypes = [ctypes.c_void_p]
-        lib.optik_host_fk.argtypes = [ctypes.c_void_p, dptr, dptr]
-        lib.optik_host_jacobian.argtypes = [ctypes.c_void_p, dptr, dptr]
+        lib.optik_host_num_positions.restype = ctypes.c_int
+        lib.optik_host_num_positions.argtypes = [ctypes.c_void_p]
+        lib.optik_host_joint_limits.argtypes = [ctypes.c_void_p, dptr, dptr]
+        lib.optik_host_random_configuration.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, dptr]
+        lib.optik_host_fk.argtypes = [ctypes.c_void_p, dptr, dptr, dptr]
+        lib.optik_host_jacobian.argtypes = [ctypes.c_void_p, dptr, dptr, dptr]
         lib.optik_host_ik.restype = ctypes.c_int
         lib.optik_host_ik.argtypes = [
-            ctypes.c_void_p, dptr, dptr, ctypes.c_double, ctypes.c_int,
+            ctypes.c_void_p, dptr, dptr, dptr, ctypes.c_double, ctypes.c_int,
             ctypes.c_int, ctypes.c_uint64, dptr, dptr]
+        lib.optik_host_diff_ik.restype = ctypes.c_int
+        lib.optik_host_diff_ik.argtypes = [
+            ctypes.c_void_p, dptr, dptr, dptr, dptr, dptr, dptr]
         _lib = lib
         return lib
 
@@ -63,12 +85,24 @@ def _as_dptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
-class HostChain:
-    """Native chain handle with FK / Jacobian / single-solve IK."""
+def _opt_pose_ptr(pose) -> Tuple[Optional[np.ndarray], object]:
+    """(array keep-alive, pointer) for an optional row-major 4x4 pose."""
+    if pose is None:
+        return None, ctypes.POINTER(ctypes.c_double)()
+    arr = np.ascontiguousarray(pose, dtype=np.float64).reshape(16)
+    return arr, _as_dptr(arr)
 
-    def __init__(self, spec):
+
+class HostChain:
+    """Native chain handle with FK / Jacobian / single-solve IK / diff-IK."""
+
+    def __init__(self, spec=None, *, _ptr=None, _n=None):
         lib = _load()
         self._lib = lib
+        if _ptr is not None:
+            self._ptr = _ptr
+            self.n = _n
+            return
         self.n = spec.num_positions
         # Keep the arrays alive for the duration of the C call.
         org_r = np.ascontiguousarray(spec.origin_r, dtype=np.float64)
@@ -85,35 +119,91 @@ class HostChain:
             _as_dptr(lower), _as_dptr(upper), _as_dptr(tip_r),
             _as_dptr(tip_t))
 
+    @classmethod
+    def from_urdf_str(cls, xml: str, base_link: str, ee_link: str
+                      ) -> "HostChain":
+        """Build from URDF text via the native ingest (no Python parsing)."""
+        lib = _load()
+        err = ctypes.create_string_buffer(_ERR_LEN)
+        ptr = lib.optik_host_chain_from_urdf_str(
+            xml.encode(), base_link.encode(), ee_link.encode(), err, _ERR_LEN)
+        if not ptr:
+            raise ValueError(err.value.decode())
+        return cls(_ptr=ptr, _n=lib.optik_host_num_positions(ptr))
+
+    @classmethod
+    def from_urdf_file(cls, path, base_link: str, ee_link: str) -> "HostChain":
+        lib = _load()
+        err = ctypes.create_string_buffer(_ERR_LEN)
+        ptr = lib.optik_host_chain_from_urdf_file(
+            str(path).encode(), base_link.encode(), ee_link.encode(), err,
+            _ERR_LEN)
+        if not ptr:
+            raise ValueError(err.value.decode())
+        return cls(_ptr=ptr, _n=lib.optik_host_num_positions(ptr))
+
     def __del__(self):
         ptr = getattr(self, "_ptr", None)
         if ptr:
             self._lib.optik_host_chain_free(ptr)
             self._ptr = None
 
-    def fk(self, q) -> np.ndarray:
+    def joint_limits(self) -> Tuple[np.ndarray, np.ndarray]:
+        lo = np.empty(self.n)
+        hi = np.empty(self.n)
+        self._lib.optik_host_joint_limits(self._ptr, _as_dptr(lo),
+                                          _as_dptr(hi))
+        return lo, hi
+
+    def random_configuration(self, seed: int = 0) -> np.ndarray:
+        out = np.empty(self.n)
+        self._lib.optik_host_random_configuration(
+            self._ptr, ctypes.c_uint64(seed), _as_dptr(out))
+        return out
+
+    def fk(self, q, ee_offset=None) -> np.ndarray:
         q = np.ascontiguousarray(q, dtype=np.float64)
+        _keep, ee_ptr = _opt_pose_ptr(ee_offset)
         out = np.empty(16)
-        self._lib.optik_host_fk(self._ptr, _as_dptr(q), _as_dptr(out))
+        self._lib.optik_host_fk(self._ptr, _as_dptr(q), ee_ptr, _as_dptr(out))
         return out.reshape(4, 4)
 
-    def jacobian(self, q) -> np.ndarray:
+    def jacobian(self, q, ee_offset=None) -> np.ndarray:
         q = np.ascontiguousarray(q, dtype=np.float64)
+        _keep, ee_ptr = _opt_pose_ptr(ee_offset)
         out = np.empty(6 * self.n)
-        self._lib.optik_host_jacobian(self._ptr, _as_dptr(q), _as_dptr(out))
+        self._lib.optik_host_jacobian(self._ptr, _as_dptr(q), ee_ptr,
+                                      _as_dptr(out))
         return out.reshape(6, self.n)
 
     def ik(self, target, x0, tol_f: float = 1e-6, max_iters: int = 64,
-           max_restarts: int = 64, rng_seed: int = 42
+           max_restarts: int = 64, rng_seed: int = 42, ee_offset=None
            ) -> Optional[Tuple[np.ndarray, float]]:
         target = np.ascontiguousarray(target, dtype=np.float64)
         x0 = np.ascontiguousarray(x0, dtype=np.float64)
+        _keep, ee_ptr = _opt_pose_ptr(ee_offset)
         x_out = np.empty(self.n)
         f_out = np.empty(1)
         ok = self._lib.optik_host_ik(
-            self._ptr, _as_dptr(target), _as_dptr(x0),
+            self._ptr, _as_dptr(target), _as_dptr(x0), ee_ptr,
             ctypes.c_double(tol_f), max_iters, max_restarts,
             ctypes.c_uint64(rng_seed), _as_dptr(x_out), _as_dptr(f_out))
         if not ok:
             return None
         return x_out, float(f_out[0])
+
+    def diff_ik(self, x0, v_we, v_max, ee_offset=None
+                ) -> Optional[Tuple[float, np.ndarray]]:
+        """Velocity-limited diff-IK step; (alpha, v) or None (lib.rs:101-239)."""
+        x0 = np.ascontiguousarray(x0, dtype=np.float64)
+        v_we = np.ascontiguousarray(v_we, dtype=np.float64)
+        v_max = np.ascontiguousarray(v_max, dtype=np.float64)
+        _keep, ee_ptr = _opt_pose_ptr(ee_offset)
+        alpha = np.empty(1)
+        v = np.empty(self.n)
+        ok = self._lib.optik_host_diff_ik(
+            self._ptr, _as_dptr(x0), _as_dptr(v_we), _as_dptr(v_max), ee_ptr,
+            _as_dptr(alpha), _as_dptr(v))
+        if not ok:
+            return None
+        return float(alpha[0]), v

@@ -44,38 +44,73 @@ class QPSolution(NamedTuple):
 
 
 def _solve_single(P, q, A, l, u, *, sigma, rho_base, rho_eq_scale, alpha,
-                  iters, polish_reg):
+                  iters, polish_reg, rho_interval=100):
     n = q.shape[0]
     m = l.shape[0]
     dtype = q.dtype
 
     is_eq = (u - l) <= 1e-12
-    rho = jnp.where(is_eq, rho_base * rho_eq_scale, rho_base)
+    rho0 = jnp.where(is_eq, rho_base * rho_eq_scale, rho_base)
 
-    K = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho) @ A
-    chol = jax.lax.linalg.cholesky(K)
+    eye_n = jnp.eye(n, dtype=dtype)
 
-    def chol_solve(b):
-        t = jax.lax.linalg.triangular_solve(chol, b[:, None], left_side=True,
-                                            lower=True)
-        s = jax.lax.linalg.triangular_solve(chol, t, left_side=True,
-                                            lower=True, transpose_a=True)
-        return s[:, 0]
+    def run_block(x, z, y, rho):
+        """rho_interval lockstep iterations at a fixed rho (one factorization)."""
+        K = P + sigma * eye_n + (A.T * rho) @ A
+        chol = jax.lax.linalg.cholesky(K)
 
-    def body(_, carry):
-        x, z, y = carry
-        rhs = sigma * x - q + A.T @ (rho * z - y)
-        x_new = chol_solve(rhs)
-        z_tilde = A @ x_new
-        z_relaxed = alpha * z_tilde + (1.0 - alpha) * z
-        z_new = jnp.clip(z_relaxed + y / rho, l, u)
-        y_new = y + rho * (z_relaxed - z_new)
-        return x_new, z_new, y_new
+        def chol_solve(b):
+            t = jax.lax.linalg.triangular_solve(chol, b[:, None],
+                                                left_side=True, lower=True)
+            s = jax.lax.linalg.triangular_solve(chol, t, left_side=True,
+                                                lower=True, transpose_a=True)
+            return s[:, 0]
+
+        def body(_, carry):
+            x, z, y = carry
+            rhs = sigma * x - q + A.T @ (rho * z - y)
+            x_new = chol_solve(rhs)
+            z_tilde = A @ x_new
+            z_relaxed = alpha * z_tilde + (1.0 - alpha) * z
+            z_new = jnp.clip(z_relaxed + y / rho, l, u)
+            y_new = y + rho * (z_relaxed - z_new)
+            return x_new, z_new, y_new
+
+        return jax.lax.fori_loop(0, rho_interval, body, (x, z, y))
+
+    # Adaptive step size (OSQP sec. 5.2): every rho_interval iterations,
+    # rescale rho by sqrt(relative primal residual / relative dual residual)
+    # when they are imbalanced by >5x, and refactor.  Fixed-rho ADMM stalls
+    # on poorly conditioned constraint blocks (small Jacobian singular
+    # values); the rebalance restores linear convergence while keeping the
+    # lockstep, data-independent iteration structure (the rho update is a
+    # masked multiply, identical across lanes in trip count).
+    def round_body(_, carry):
+        x, z, y, rho_scale = carry
+        x, z, y = run_block(x, z, y, rho0 * rho_scale)
+        ax = A @ x
+        tiny = jnp.asarray(1e-12, dtype)
+        pr = jnp.max(jnp.abs(ax - z))
+        pr_rel = pr / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(ax)),
+                                              jnp.max(jnp.abs(z))), tiny)
+        dvec = P @ x + q + A.T @ y
+        dr = jnp.max(jnp.abs(dvec))
+        dr_rel = dr / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(P @ x)),
+                        jnp.maximum(jnp.max(jnp.abs(A.T @ y)),
+                                    jnp.max(jnp.abs(q)))), tiny)
+        scale = jnp.sqrt(pr_rel / jnp.maximum(dr_rel, tiny))
+        scale = jnp.clip(scale, 1e-3, 1e3)
+        apply = (scale > 5.0) | (scale < 0.2)
+        rho_scale = jnp.where(apply, rho_scale * scale, rho_scale)
+        return x, z, y, rho_scale
 
     x0 = jnp.zeros(n, dtype)
     z0 = jnp.clip(jnp.zeros(m, dtype), l, u)
     y0 = jnp.zeros(m, dtype)
-    x, z, y = jax.lax.fori_loop(0, iters, body, (x0, z0, y0))
+    rounds = max(1, iters // rho_interval)
+    x, z, y, _ = jax.lax.fori_loop(
+        0, rounds, round_body, (x0, z0, y0, jnp.ones((), dtype)))
 
     def residuals(xv, yv):
         ax = A @ xv

@@ -84,3 +84,136 @@ def test_latency_single_solve(pair):
     per_solve = (time.perf_counter() - t0) / len(targets)
     assert n_ok >= 45
     assert per_solve < 5e-3  # generous bound for shared CI machines
+
+
+# --- native URDF ingest (C++ parser + chain extraction) ---------------------
+
+
+def test_native_urdf_ingest_matches_python(pair):
+    """Chains built by the C++ URDF parser must be bit-identical to the
+    Python ingest: same limits, same FK, same Jacobian."""
+    from optik_tpu.native import HostChain
+
+    robot, host = pair
+    native = HostChain.from_urdf_file(asset_path("panda.urdf"), "panda_link0",
+                                      "panda_hand_tcp")
+    assert native.n == robot.num_positions()
+    lo_p, hi_p = robot.joint_limits()
+    lo_n, hi_n = native.joint_limits()
+    np.testing.assert_array_equal(lo_n, lo_p)
+    np.testing.assert_array_equal(hi_n, hi_p)
+
+    rng = np.random.default_rng(10)
+    for _ in range(10):
+        q = rng.uniform(lo_p, hi_p)
+        np.testing.assert_array_equal(native.fk(q), host.fk(q))
+        np.testing.assert_array_equal(native.jacobian(q), host.jacobian(q))
+
+
+def test_native_urdf_ingest_ur3e_fixed_folding():
+    """UR3e has interior + trailing fixed joints — exercises folding."""
+    from optik_tpu.native import HostChain
+
+    robot = Robot.from_urdf_file(asset_path("ur3e.urdf"), "ur_base_link",
+                                 "ur_ee_link")
+    native = HostChain.from_urdf_file(asset_path("ur3e.urdf"), "ur_base_link",
+                                      "ur_ee_link")
+    rng = np.random.default_rng(11)
+    lo, hi = robot.joint_limits()
+    for _ in range(10):
+        q = rng.uniform(lo, hi)
+        np.testing.assert_allclose(native.fk(q), robot.fk(q), atol=1e-12)
+
+
+def test_native_urdf_error_contracts():
+    from optik_tpu.native import HostChain
+
+    with pytest.raises(ValueError, match="does not exist"):
+        HostChain.from_urdf_file(asset_path("panda.urdf"), "nope",
+                                 "panda_hand_tcp")
+    with pytest.raises(ValueError, match="cannot read"):
+        HostChain.from_urdf_file("/nonexistent/x.urdf", "a", "b")
+    with pytest.raises(ValueError, match="joint type not supported"):
+        HostChain.from_urdf_str(
+            """<robot name="r"><link name="a"/><link name="b"/>
+               <joint name="j" type="floating">
+                 <parent link="a"/><child link="b"/>
+               </joint></robot>""", "a", "b")
+    with pytest.raises(ValueError, match="empty"):
+        HostChain.from_urdf_str('<robot name="r"><link name="a"/></robot>',
+                                "a", "a")
+
+
+def test_native_random_configuration(pair):
+    _, host = pair
+    lo, hi = host.joint_limits()
+    q1 = host.random_configuration(7)
+    q2 = host.random_configuration(7)
+    q3 = host.random_configuration(8)
+    np.testing.assert_array_equal(q1, q2)  # deterministic per seed
+    assert np.any(q1 != q3)
+    assert np.all((q1 >= lo) & (q1 <= hi))
+
+
+# --- ee_offset through the native path ---------------------------------------
+
+
+def test_native_ee_offset(pair):
+    robot, host = pair
+    rng = np.random.default_rng(12)
+    lo, hi = robot.joint_limits()
+    off = np.asarray(robot.fk(rng.uniform(lo, hi)))  # arbitrary rigid pose
+    for _ in range(5):
+        q = rng.uniform(lo, hi)
+        np.testing.assert_allclose(host.fk(q, ee_offset=off),
+                                   robot.fk(q, ee_offset=off), atol=1e-12)
+        np.testing.assert_allclose(
+            host.jacobian(q, ee_offset=off),
+            robot.joint_jacobian(q, ee_offset=off), atol=1e-12)
+    # IK round trip with the offset applied.
+    target = host.fk(rng.uniform(lo, hi), ee_offset=off)
+    sol = host.ik(target, np.clip(np.zeros(7), lo, hi), tol_f=1e-10,
+                  ee_offset=off)
+    assert sol is not None
+    np.testing.assert_allclose(host.fk(sol[0], ee_offset=off), target,
+                               atol=1e-5)
+
+
+# --- native differential IK ---------------------------------------------------
+
+
+def test_native_diff_ik_contracts(pair):
+    """alpha in [0, 1], |v| <= v_max, and J_W v == alpha * V (the tracking
+    assertion the reference leaves as a TODO, test_ik.rs:207)."""
+    robot, host = pair
+    rng = np.random.default_rng(13)
+    lo, hi = robot.joint_limits()
+    v_we = np.array([0.0, 0.0, 0.1, 0.0, 0.0, 0.0])
+    v_max = np.full(7, 0.75)
+    for _ in range(10):
+        q = rng.uniform(lo, hi)
+        res = host.diff_ik(q, v_we, v_max)
+        assert res is not None
+        alpha, v = res
+        assert -1e-6 <= alpha <= 1.0 + 1e-6
+        assert np.all(np.abs(v) <= v_max + 1e-6)
+        # world Jacobian = R_WE-rotated local Jacobian
+        T = host.fk(q)
+        jl = host.jacobian(q)
+        jw = np.vstack([T[:3, :3] @ jl[:3], T[:3, :3] @ jl[3:]])
+        np.testing.assert_allclose(jw @ v, alpha * v_we, atol=1e-6)
+
+
+def test_native_diff_ik_matches_python(pair):
+    robot, host = pair
+    rng = np.random.default_rng(14)
+    lo, hi = robot.joint_limits()
+    v_we = np.array([0.02, -0.05, 0.1, 0.0, 0.1, -0.04])
+    v_max = np.full(7, 0.5)
+    for _ in range(10):
+        q = rng.uniform(lo, hi)
+        res_n = host.diff_ik(q, v_we, v_max)
+        res_p = robot.diff_ik(q, v_we, v_max)
+        assert (res_n is None) == (res_p is None)
+        if res_n is not None:
+            assert abs(res_n[0] - res_p[0]) < 1e-6
