@@ -60,11 +60,15 @@ def main():
     rng = np.random.default_rng(42)
     lo, hi = robot.joint_limits()
 
-    solver_path = "pallas"
+    solver_path = "pallas-cascade"
     try:
-        from optik_tpu.ops.pallas import lm_kernel
+        from optik_tpu.solver import cascade
 
-        solve = lm_kernel.build_kernel_solver(robot.spec, cfg, p_blk=P_BLK)
+        # Two-phase schedule: screen every pose with one restart round,
+        # replay the full budget on the failed ~8% only (solver/cascade.py).
+        solve = cascade.build_cascade_solver(robot.spec, cfg, p_blk=P_BLK,
+                                             phase1_rounds=1, tail_div=8,
+                                             p_blk2=256)
     except Exception:
         solver_path = "xla"
         solve = robot._solver(cfg, with_ee=False)

@@ -6,6 +6,11 @@ joint_jacobian, diff_ik, ik) — batched, on whatever device JAX selects.
 Prints one JSON line per op with throughput in ops/s.
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import json
 import time
 

@@ -11,6 +11,11 @@ real hardware.
 Prints one JSON line per device count.
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import json
 import time
 

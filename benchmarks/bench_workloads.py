@@ -13,6 +13,11 @@
 Prints one JSON line per config.
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import json
 import time
 

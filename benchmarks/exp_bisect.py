@@ -5,6 +5,11 @@ Builds minimal pallas kernels around solver/lm_soa.lm_loop with feature
 flags toggled, on the Panda chain, and reports compile ok/err per variant.
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import json
 
 import numpy as np

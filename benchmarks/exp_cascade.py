@@ -12,6 +12,11 @@ Prints one JSON line per config.  Run on the real chip:
     timeout 1800 python benchmarks/exp_cascade.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import json
 import time
 

@@ -4,6 +4,11 @@
 Each case is a tiny standalone kernel; compile+run and report ok/err.
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import json
 
 import jax

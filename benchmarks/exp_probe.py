@@ -1,6 +1,11 @@
 #!/usr/bin/env python3
 """Probe: which Pallas kernel block configs compile on the current relay."""
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import json
 import time
 import traceback

@@ -9,6 +9,11 @@ Times (per call, averaged, with block_until_ready):
   * a full LM solve (while_loop) at max_iters, for reference
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import time
 
 import jax

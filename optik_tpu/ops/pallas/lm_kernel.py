@@ -6,10 +6,19 @@ kernels.  This kernel runs the *entire* loop for a block of lanes inside one
 ``pallas_call``: all state lives in VMEM/registers for the duration, HBM is
 touched exactly twice (read seeds/targets, write results).
 
-Layout: lanes are (S, P) tiles — the restart-seed axis in *sublanes*
-(S = 8 seeds fills a float32 tile's sublane dimension exactly) and poses in
-*lanes*, with the grid striding pose blocks of width ``p_blk``.  Component
-arrays are (S, P) 2-D tiles throughout, so the shared loop core
+Layout: lanes are (8, P) tiles — 8 sublane rows (the f32 tile minimum) and
+poses in *lanes*, with the grid striding pose blocks of width ``p_blk``.
+The 8 rows are **pose-packed**: with S seeds per pose (S in {1, 2, 4, 8}),
+each tile column carries G = 8 // S poses — row r serves seed ``r % S`` of
+pose ``(r // S) * (B // G) + column``.  Packing is the throughput lever: the
+sublane dimension is a hardware constant, so a pose that only needs S seed
+lanes should share the tile with 8/S - 1 other poses rather than pad.  The
+same restart budget still applies per pose (lanes stride it by S rounds of
+continuous reseeding), so success is budget-equivalent to the unpacked
+layout; Speed-mode pose freezing reduces over row groups via a tiny
+block-diagonal matmul (see solver/lm_soa.lm_loop group_size).
+
+Component arrays are (8, P) 2-D tiles throughout, so the shared loop core
 (solver/lm_soa.lm_loop) runs unchanged inside the kernel — the only
 kernel-specific pieces are ref plumbing and a gather-free seed lookup
 (an unrolled select chain over the round axis, since dynamic gathers don't
@@ -22,7 +31,6 @@ tests/test_pallas.py in interpreter mode and by on-device comparisons.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,15 +43,19 @@ from ...ops import soa
 from ...solver import ik as ik_mod
 from ...solver.lm_soa import lm_loop
 
+_ROWS = 8  # f32 tile sublane count: the physical row dimension of all lanes
+
 
 def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
                         p_blk: int = 256, interpret: bool = False):
     """Compile a Pallas-backed batched IK solver for one robot+config.
 
     Returns ``fn(tgt_r (B,3,3), tgt_t (B,3), x0 (B,A)) -> IKResult``.
-    B must be a multiple of ``p_blk``.  The restart lane count is
-    cfg.seed_batch (capped by the budget); the remaining budget runs through
-    continuous reseeding, identical to the XLA path.
+    The restart lane count S is cfg.seed_batch (capped by the budget); when
+    S < 8 the kernel packs ``8 // S`` poses per tile column (see module
+    docstring), and B must be a multiple of ``p_blk * (8 // S)``.  The
+    remaining budget runs through continuous reseeding, identical to the
+    XLA path.
     """
     consts = soa.chain_constants(spec)
     a = spec.num_positions
@@ -55,37 +67,45 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
 
     r_total = cfg.total_restarts
     s = min(cfg.seed_batch, r_total)
+    if _ROWS % s:
+        # Non-divisor seed counts fall back to a padded (s, P) layout.
+        g = 1
+        rows = s
+    else:
+        g = _ROWS // s
+        rows = _ROWS
     use_reseed = r_total > s
     rounds = -(-r_total // s)
     mode = cfg.solution_mode
 
-    def kernel(x0_ref,    # (A, S, P_BLK) seeds, lane 0 = caller x0
-               tgt_ref,   # (12, P_BLK) target pose components
-               tab_ref,   # (rounds, A, S) stride seed table (padded)
-               qx0_ref,   # (A, P_BLK) caller seed (quality distance ref)
-               x_ref,     # out (A, S, P_BLK)
-               f_ref,     # out (S, P_BLK)
-               succ_ref,  # out (S, P_BLK) int8
-               idx_ref):  # out (S, P_BLK) int32 restart index
+    def kernel(x0_ref,    # (A, rows, P_BLK) seeds, row k*S = caller x0
+               tgt_ref,   # (12, rows, P_BLK) target pose components
+               tab_ref,   # (rounds, A, rows) stride seed table (padded)
+               qx0_ref,   # (A, rows, P_BLK) caller seed (quality dist ref)
+               x_ref,     # out (A, rows, P_BLK)
+               f_ref,     # out (rows, P_BLK)
+               succ_ref,  # out (rows, P_BLK) int8
+               idx_ref):  # out (rows, P_BLK) int32 restart index
         xs0 = [x0_ref[p] for p in range(a)]
-        tgtm = [[tgt_ref[3 * i + j][None, :] for j in range(3)]
-                for i in range(3)]
-        tgtt = [tgt_ref[9 + i][None, :] for i in range(3)]
+        tgtm = [[tgt_ref[3 * i + j] for j in range(3)] for i in range(3)]
+        tgtt = [tgt_ref[9 + i] for i in range(3)]
+
+        # Row r serves seed stream r % S (identical streams across packs).
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        lane_col = row_iota % s if g > 1 else row_iota
 
         seed_lookup = None
         lane_index = None
         if use_reseed:
             # Gather-free lookup: the round k of a lane is
             # (cur_idx - lane) / S; select tab[k] with an unrolled chain.
-            lane_col = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
-
             def lookup(cur_idx):
-                k_lane = (cur_idx - lane_col) // s  # (S, P)
+                k_lane = (cur_idx - lane_col) // s  # (rows, P)
                 out = [jnp.zeros_like(xs0[0])] * a
                 for k in range(rounds):
                     sel = k_lane == k
                     for p in range(a):
-                        row = tab_ref[k, p][:, None]  # (S, 1)
+                        row = tab_ref[k, p][:, None]  # (rows, 1)
                         out[p] = jnp.where(sel, row, out[p])
                 return out
 
@@ -94,7 +114,7 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
 
         qx0 = None
         if mode == SolutionMode.QUALITY:
-            qx0 = [qx0_ref[p][None, :] for p in range(a)]
+            qx0 = [qx0_ref[p] for p in range(a)]
 
         with soa.approx_atan2():
             res = lm_loop(
@@ -102,7 +122,7 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
             seed_lookup=seed_lookup, lane_index=lane_index,
             total_restarts=r_total, s_lanes=s,
             success_stops_group=(mode == SolutionMode.SPEED),
-            group_axis=0,
+            group_axis=0, group_size=s if g > 1 else None,
             explore_full_budget=(mode == SolutionMode.QUALITY),
             qx0=qx0)
 
@@ -113,14 +133,15 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
         if res.restart_index is not None:
             idx_ref[...] = res.restart_index
         else:
-            idx_ref[...] = jax.lax.broadcasted_iota(
-                jnp.int32, res.f.shape, 0)
+            idx_ref[...] = jnp.broadcast_to(lane_col, res.f.shape)
 
     @functools.partial(jax.jit, static_argnums=())
     def solve(tgt_r, tgt_t, x0):
         b = tgt_r.shape[0]
-        if b % p_blk:
-            raise ValueError(f"batch {b} not a multiple of p_blk={p_blk}")
+        if b % (p_blk * g):
+            raise ValueError(
+                f"batch {b} not a multiple of p_blk*packs={p_blk * g}")
+        bg = b // g  # tile columns; pose = pack * bg + column
 
         lo = jnp.asarray(lo_s, dtype)
         hi = jnp.asarray(hi_s, dtype)
@@ -132,60 +153,76 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
                                       maxval=hi)
 
         r_pad = rounds * s
-        table = jax.vmap(draw)(jnp.arange(r_pad))          # (r_pad, A)
-        tab = table.reshape(rounds, s, a).transpose(0, 2, 1)  # (rounds, A, S)
+        table = jax.vmap(draw)(jnp.arange(r_pad))           # (r_pad, A)
+        tab_s = table.reshape(rounds, s, a)                 # (rounds, S, A)
+        # Physical row r of round k draws restart k*S + r%S.
+        tab = jnp.tile(tab_s, (1, g, 1)).transpose(0, 2, 1)  # (rounds, A, rows)
 
-        # Seeds laid out (A, S, B): lane 0 = caller's x0.
-        x0_t = jnp.asarray(x0, dtype).T                    # (A, B)
-        seeds_rest = tab[0, :, 1:]                          # (A, S-1)
-        seeds = jnp.concatenate(
-            [x0_t[:, None, :],
-             jnp.broadcast_to(seeds_rest[:, :, None], (a, s - 1, b))],
-            axis=1)                                         # (A, S, B)
+        # Seeds laid out (A, rows, BG): row h*S is pack h's caller x0, rows
+        # h*S+1 .. h*S+S-1 are the shared round-0 random seeds.
+        x0_t = jnp.asarray(x0, dtype).T.reshape(a, g, bg)    # (A, G, BG)
+        row_list = []
+        for h in range(g):
+            row_list.append(x0_t[:, h][:, None, :])          # seed 0
+            if s > 1:
+                rest = tab_s[0, 1:].T                        # (A, S-1)
+                row_list.append(
+                    jnp.broadcast_to(rest[:, :, None], (a, s - 1, bg)))
+        seeds = jnp.concatenate(row_list, axis=1)            # (A, rows, BG)
 
-        tgt = jnp.concatenate(
+        # Targets: component i, row r, col j = pose (r // S) * BG + j.
+        tgt12 = jnp.concatenate(
             [jnp.asarray(tgt_r, dtype).reshape(b, 9).T,
-             jnp.asarray(tgt_t, dtype).T], axis=0)          # (12, B)
+             jnp.asarray(tgt_t, dtype).T], axis=0)           # (12, B)
+        tgt = jnp.repeat(tgt12.reshape(12, g, bg), s, axis=1)  # (12, rows, BG)
 
-        grid = (b // p_blk,)
+        qx0 = jnp.repeat(x0_t, s, axis=1)                    # (A, rows, BG)
+
+        grid = (bg // p_blk,)
         out_shapes = (
-            jax.ShapeDtypeStruct((a, s, b), dtype),
-            jax.ShapeDtypeStruct((s, b), dtype),
-            jax.ShapeDtypeStruct((s, b), jnp.int8),
-            jax.ShapeDtypeStruct((s, b), jnp.int32),
+            jax.ShapeDtypeStruct((a, rows, bg), dtype),
+            jax.ShapeDtypeStruct((rows, bg), dtype),
+            jax.ShapeDtypeStruct((rows, bg), jnp.int8),
+            jax.ShapeDtypeStruct((rows, bg), jnp.int32),
         )
         xs, fs, succ, ridx = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((a, s, p_blk), lambda i: (0, 0, i),
+                pl.BlockSpec((a, rows, p_blk), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((12, p_blk), lambda i: (0, i),
+                pl.BlockSpec((12, rows, p_blk), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((rounds, a, s), lambda i: (0, 0, 0),
+                pl.BlockSpec((rounds, a, rows), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((a, p_blk), lambda i: (0, i),
+                pl.BlockSpec((a, rows, p_blk), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((a, s, p_blk), lambda i: (0, 0, i),
+                pl.BlockSpec((a, rows, p_blk), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((s, p_blk), lambda i: (0, i),
+                pl.BlockSpec((rows, p_blk), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((s, p_blk), lambda i: (0, i),
+                pl.BlockSpec((rows, p_blk), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((s, p_blk), lambda i: (0, i),
+                pl.BlockSpec((rows, p_blk), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=out_shapes,
             interpret=interpret,
-        )(seeds, tgt, tab, x0_t)
+        )(seeds, tgt, tab, qx0)
+
+        # Unpack (*, rows, BG) -> per-pose (B, S, *): row r of column j is
+        # seed r % S of pose (r // S) * BG + j.
+        def unpack(arr):  # (rows, BG) -> (B, S)
+            return arr.reshape(g, s, bg).transpose(0, 2, 1).reshape(b, s)
+
+        xs = xs.reshape(a, g, s, bg).transpose(1, 3, 2, 0).reshape(b, s, a)
+        fs = unpack(fs)
+        succ_b = unpack(succ).astype(bool)
+        ridx_b = unpack(ridx)
 
         # Winner selection per pose (same reductions as the XLA path).
-        xs = xs.transpose(2, 1, 0)        # (B, S, A)
-        fs = fs.T                          # (B, S)
-        succ_b = succ.T.astype(bool)
-        ridx_b = ridx.T
         x0_arr = jnp.asarray(x0, dtype)
         if mode == SolutionMode.SPEED:
             out = jax.vmap(lambda xsi, fsi, si, x0i, ri: ik_mod._select(

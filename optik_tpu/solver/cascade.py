@@ -40,12 +40,35 @@ lib.rs:298-301); this is scheduling for a lockstep machine.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from ..config import SolutionMode, SolverConfig
 from . import ik as ik_mod
 from ..ops.pallas import lm_kernel
+
+
+# Module-level jits: these MUST NOT be defined per solve() call — a fresh
+# function object means a retrace + recompile round trip on every batch,
+# which on a relayed TPU costs seconds (observed: 60x throughput loss).
+
+@functools.partial(jax.jit, static_argnums=4)
+def _compact(found, tgt_r, tgt_t, x0, b2):
+    """Gather the first b2 poses in failures-first stable order."""
+    order = jnp.argsort(found.astype(jnp.int32), stable=True)
+    idx = order[:b2]
+    return idx, tgt_r[idx], tgt_t[idx], x0[idx]
+
+
+@jax.jit
+def _merge(res1, idx, res2):
+    take2 = ~res1.found[idx] & res2.found
+    found = res1.found.at[idx].set(res1.found[idx] | res2.found)
+    x = res1.x.at[idx].set(jnp.where(take2[:, None], res2.x, res1.x[idx]))
+    cost = res1.cost.at[idx].set(jnp.where(take2, res2.cost, res1.cost[idx]))
+    return ik_mod.IKResult(found=found, x=x, cost=cost)
 
 
 def build_cascade_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
@@ -76,26 +99,8 @@ def build_cascade_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
         b = tgt_r.shape[0]
         b2 = min(b, -(-max(b // tail_div, 1) // blk2) * blk2)
         res1 = solve1(tgt_r, tgt_t, x0)
-
-        @jax.jit
-        def compact(found):
-            # Failures first; stable sort keeps the order deterministic.
-            order = jnp.argsort(found.astype(jnp.int32), stable=True)
-            return order[:b2]
-
-        idx = compact(res1.found)
-        res2 = solve2(tgt_r[idx], tgt_t[idx], x0[idx])
-
-        @jax.jit
-        def merge(res1, idx, res2):
-            take2 = ~res1.found[idx] & res2.found
-            found = res1.found.at[idx].set(res1.found[idx] | res2.found)
-            x = res1.x.at[idx].set(
-                jnp.where(take2[:, None], res2.x, res1.x[idx]))
-            cost = res1.cost.at[idx].set(
-                jnp.where(take2, res2.cost, res1.cost[idx]))
-            return ik_mod.IKResult(found=found, x=x, cost=cost)
-
-        return merge(res1, idx, res2)
+        idx, tr2, tt2, x02 = _compact(res1.found, tgt_r, tgt_t, x0, b2)
+        res2 = solve2(tr2, tt2, x02)
+        return _merge(res1, idx, res2)
 
     return solve

@@ -37,6 +37,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import soa
 from .lm import LMOptions, LMResult
@@ -60,6 +61,7 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
             s_lanes: int = 1,       # lanes per pose (stride)
             success_stops_group: bool = False,
             group_axis: int = -1,
+            group_size: Optional[int] = None,  # rows per pose along axis 0
             explore_full_budget: bool = False,
             qx0=None                # A components: caller's seed (quality)
             ) -> LoopOut:
@@ -86,19 +88,33 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
     jt0 = (zeros,) * (6 * a)
     f0 = jnp.full(lane_shape, jnp.inf, dtype)
 
+    # Integer lane-shaped carries must NOT be constant zeros/ones: Mosaic
+    # assigns constants a replicated vector layout, the loop body produces
+    # tiled selects, and a tiled->replicated relayout on the carry is
+    # invalid ("Non-singleton logical dimension is replicated in destination
+    # but not in source").  An iota-derived zero is value-identical but
+    # provably tiled.
+    if lane_shape:
+        ramp = sum(jax.lax.broadcasted_iota(jnp.int32, lane_shape, d)
+                   for d in range(len(lane_shape)))  # varies along every axis
+        zero_i = jnp.minimum(ramp, 0)
+    else:
+        zero_i = jnp.zeros(lane_shape, jnp.int32)
+    one_i = zero_i + 1
+
     if reseed:
         idx0 = jnp.broadcast_to(jnp.asarray(lane_index, jnp.int32),
                                 lane_shape)
     else:
         # Lane-shaped even though unused: Mosaic cannot mix scalar and
         # vector i32 operands in the loop carry's select chains.
-        idx0 = jnp.zeros(lane_shape, jnp.int32)
+        idx0 = zero_i
 
     if track_best:
         best0 = (tuple([zeros] * a),                       # best x
                  jnp.full(lane_shape, jnp.inf, dtype),     # best seed dist
                  jnp.full(lane_shape, jnp.inf, dtype),     # best cost
-                 jnp.zeros(lane_shape, jnp.int32))         # best restart idx
+                 zero_i)                                   # best restart idx
     else:
         best0 = ()
 
@@ -107,12 +123,12 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
     init = (tuple(xs0), tuple(e0), jt0, f0,
             jnp.full(lane_shape, opts.lam_init, dtype),
             jnp.full(lane_shape, 2.0, dtype),
-            jnp.zeros(lane_shape, jnp.int32),  # stopped
-            jnp.zeros(lane_shape, jnp.int32),  # success
+            zero_i,                            # stopped
+            zero_i,                            # success
             jnp.zeros((), jnp.int32),          # global iteration
             idx0,                              # current restart index
-            jnp.zeros(lane_shape, jnp.int32),  # per-attempt iteration
-            jnp.ones(lane_shape, jnp.int32),   # pending: adopt x this iter
+            zero_i,                            # per-attempt iteration
+            one_i,                             # pending: adopt x this iter
             best0)
 
     def cond(c):
@@ -261,9 +277,25 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
             # reference's cross-thread early-exit flag (lib.rs:269,382-384).
             # Winner = earliest success by iteration, ties broken by lowest
             # restart index (lane-local property -> batch-layout-invariant).
-            pose_done = jnp.any(success, axis=group_axis, keepdims=True)
-            stopped = stopped | jnp.broadcast_to(pose_done, lane_shape)
-            pending_next = pending_next & ~pose_done
+            if group_size is not None and group_size != lane_shape[0]:
+                # Pose-packed sublane layout (group_axis must be 0): a pose
+                # occupies a contiguous run of group_size rows.  The grouped
+                # "any" is a tiny block-diagonal matmul — sublane-strided
+                # reductions don't have a clean Mosaic lowering, an
+                # (8, 8) x (8, P) dot does.  Built from iota, not a numpy
+                # constant: Pallas kernels cannot capture array consts.
+                rows = lane_shape[0]
+                r_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+                c_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+                gmat = ((r_i // group_size) == (c_i // group_size)
+                        ).astype(dtype)
+                pose_done = (gmat @ success.astype(dtype)) > 0.5
+                stopped = stopped | pose_done
+                pending_next = pending_next & ~pose_done
+            else:
+                pose_done = jnp.any(success, axis=group_axis, keepdims=True)
+                stopped = stopped | jnp.broadcast_to(pose_done, lane_shape)
+                pending_next = pending_next & ~pose_done
 
         return (tuple(x_next), tuple(e_next), jt_next, f_next,
                 lam_next, nu_next, stopped.astype(jnp.int32),

@@ -59,6 +59,42 @@ def test_kernel_matches_xla(robot, mode, restarts, seed_batch):
     assert np.all(np.asarray(got.cost)[found] <= cfg.tol_f * (1 + 1e-5))
 
 
+@pytest.mark.parametrize("mode,restarts,seed_batch", [
+    ("speed", 24, 4),       # pose-packed: 2 poses x 4 seeds per tile
+    ("speed", 4, 4),        # packed, no reseed
+    ("speed", 24, 2),       # 4 poses x 2 seeds
+    ("speed", 24, 1),       # 8 poses x 1 seed (pure sequential restarts)
+    ("quality", 24, 4),     # packed quality
+])
+def test_packed_kernel_matches_xla(robot, mode, restarts, seed_batch):
+    """Pose packing is a pure layout change: with both paths traced under
+    the same atan2 approximation, the packed kernel must reproduce the XLA
+    SoA path's found mask exactly and its solutions to float tolerance."""
+    from optik_tpu.ops import soa
+    from optik_tpu.ops.pallas import lm_kernel
+    from optik_tpu.solver import ik as ik_mod
+
+    cfg = SolverConfig.create(mode, max_restarts=restarts,
+                              seed_batch=seed_batch, max_iters=32)
+    B = 16
+    g = 8 // seed_batch
+    tr, tt, x0 = make_problem(robot, B, seed=7)
+
+    with soa.approx_atan2():
+        ref_fn = ik_mod.build_batch_solver(robot.spec, cfg, jnp.float32)
+        ref = ref_fn(tr, tt, x0)
+        fn = lm_kernel.build_kernel_solver(robot.spec, cfg, p_blk=B // g // 2,
+                                           interpret=True)
+        got = fn(tr, tt, x0)
+
+    np.testing.assert_array_equal(np.asarray(got.found),
+                                  np.asarray(ref.found))
+    found = np.asarray(ref.found)
+    np.testing.assert_allclose(np.asarray(got.x)[found],
+                               np.asarray(ref.x)[found], atol=1e-5)
+    assert np.all(np.asarray(got.cost)[found] <= cfg.tol_f * (1 + 1e-5))
+
+
 def test_cascade_matches_single_shot(robot):
     """Cascade scheduling: identical found mask, valid solutions."""
     from optik_tpu.solver import cascade
