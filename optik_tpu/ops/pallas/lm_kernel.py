@@ -87,8 +87,16 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
                succ_ref,  # out (rows, P_BLK) int8
                idx_ref):  # out (rows, P_BLK) int32 restart index
         xs0 = [x0_ref[p] for p in range(a)]
-        tgtm = [[tgt_ref[3 * i + j] for j in range(3)] for i in range(3)]
-        tgtt = [tgt_ref[9 + i] for i in range(3)]
+        if g == 1:
+            # One pose per column: target components stay (1, P) broadcast
+            # rows — materializing 8 identical sublanes would turn every
+            # target-involving op from 1 vreg into 4.
+            tgtm = [[tgt_ref[3 * i + j, 0][None, :] for j in range(3)]
+                    for i in range(3)]
+            tgtt = [tgt_ref[9 + i, 0][None, :] for i in range(3)]
+        else:
+            tgtm = [[tgt_ref[3 * i + j] for j in range(3)] for i in range(3)]
+            tgtt = [tgt_ref[9 + i] for i in range(3)]
 
         # Row r serves seed stream r % S (identical streams across packs).
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
@@ -114,7 +122,10 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
 
         qx0 = None
         if mode == SolutionMode.QUALITY:
-            qx0 = [qx0_ref[p] for p in range(a)]
+            if g == 1:
+                qx0 = [qx0_ref[p, 0][None, :] for p in range(a)]
+            else:
+                qx0 = [qx0_ref[p] for p in range(a)]
 
         with soa.approx_atan2():
             res = lm_loop(
@@ -171,12 +182,17 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
         seeds = jnp.concatenate(row_list, axis=1)            # (A, rows, BG)
 
         # Targets: component i, row r, col j = pose (r // S) * BG + j.
+        # g == 1 keeps a single broadcast row instead of 8 copies.
         tgt12 = jnp.concatenate(
             [jnp.asarray(tgt_r, dtype).reshape(b, 9).T,
              jnp.asarray(tgt_t, dtype).T], axis=0)           # (12, B)
-        tgt = jnp.repeat(tgt12.reshape(12, g, bg), s, axis=1)  # (12, rows, BG)
-
-        qx0 = jnp.repeat(x0_t, s, axis=1)                    # (A, rows, BG)
+        if g == 1:
+            tgt = tgt12[:, None, :]                          # (12, 1, BG)
+            qx0 = x0_t                                       # (A, 1, BG)
+        else:
+            tgt = jnp.repeat(tgt12.reshape(12, g, bg), s,
+                             axis=1)                         # (12, rows, BG)
+            qx0 = jnp.repeat(x0_t, s, axis=1)                # (A, rows, BG)
 
         grid = (bg // p_blk,)
         out_shapes = (
@@ -191,11 +207,11 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
             in_specs=[
                 pl.BlockSpec((a, rows, p_blk), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((12, rows, p_blk), lambda i: (0, 0, i),
+                pl.BlockSpec((12, tgt.shape[1], p_blk), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((rounds, a, rows), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((a, rows, p_blk), lambda i: (0, 0, i),
+                pl.BlockSpec((a, qx0.shape[1], p_blk), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(

@@ -42,6 +42,11 @@ import numpy as np
 from ..ops import soa
 from .lm import LMOptions, LMResult
 
+# Pose-packed group-"any" lowering: "matmul" (block-diagonal dot) or
+# "slices" (static sublane slices).  Module-level so on-chip experiments can
+# A/B them; the default is the measured winner.
+GROUP_ANY = "matmul"
+
 
 class LoopOut(NamedTuple):
     """lm_loop result: component lists over the lane shape."""
@@ -279,17 +284,28 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
             # restart index (lane-local property -> batch-layout-invariant).
             if group_size is not None and group_size != lane_shape[0]:
                 # Pose-packed sublane layout (group_axis must be 0): a pose
-                # occupies a contiguous run of group_size rows.  The grouped
-                # "any" is a tiny block-diagonal matmul — sublane-strided
-                # reductions don't have a clean Mosaic lowering, an
-                # (8, 8) x (8, P) dot does.  Built from iota, not a numpy
-                # constant: Pallas kernels cannot capture array consts.
+                # occupies a contiguous run of group_size rows.
                 rows = lane_shape[0]
-                r_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-                c_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-                gmat = ((r_i // group_size) == (c_i // group_size)
-                        ).astype(dtype)
-                pose_done = (gmat @ success.astype(dtype)) > 0.5
+                if GROUP_ANY == "slices":
+                    # Per-pack any via static sublane slices.
+                    segs = []
+                    for h in range(rows // group_size):
+                        seg = jnp.any(
+                            success[h * group_size:(h + 1) * group_size],
+                            axis=0, keepdims=True)
+                        segs.append(jnp.broadcast_to(
+                            seg, (group_size,) + lane_shape[1:]))
+                    pose_done = jnp.concatenate(segs, axis=0)
+                else:
+                    # Grouped "any" as a tiny block-diagonal matmul (an
+                    # (8, 8) x (8, P) dot), built from iota rather than a
+                    # numpy constant: Pallas kernels cannot capture array
+                    # consts.
+                    r_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+                    c_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+                    gmat = ((r_i // group_size) == (c_i // group_size)
+                            ).astype(dtype)
+                    pose_done = (gmat @ success.astype(dtype)) > 0.5
                 stopped = stopped | pose_done
                 pending_next = pending_next & ~pose_done
             else:
