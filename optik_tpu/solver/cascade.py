@@ -71,36 +71,100 @@ def _merge(res1, idx, res2):
     return ik_mod.IKResult(found=found, x=x, cost=cost)
 
 
-def build_cascade_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
-                         p_blk: int = 256, phase1_rounds: int = 2,
-                         tail_div: int = 8, p_blk2: int | None = None,
-                         interpret: bool = False):
-    """Compile the two-phase solver; fn(tgt_r, tgt_t, x0) -> IKResult.
+def _pack(seeds):
+    """Pose-pack factor of the kernel layout for a given seed-lane count."""
+    return lm_kernel._ROWS // seeds if lm_kernel._ROWS % seeds == 0 else 1
 
-    Requires Speed mode and a multi-round restart budget
-    (total_restarts > seed_batch); callers should fall back to the plain
-    kernel otherwise.  B must be a multiple of ``p_blk``.
+
+def build_multiphase_solver(spec, cfg: SolverConfig, *, screens,
+                            final_p_blk: int = 256, final_div: int | None
+                            = None, dtype=jnp.float32,
+                            interpret: bool = False):
+    """Compile an N-phase cascade; fn(tgt_r, tgt_t, x0) -> IKResult.
+
+    ``screens`` is a list of dicts, one per screening pass, each with keys
+
+      ``seeds``    seed lanes per pose (< 8 pose-packs the tile: lm_kernel),
+      ``rounds``   restart rounds in this screen (budget = rounds * seeds),
+      ``iters``    max LM iterations per attempt (default cfg.max_iters),
+      ``p_blk``    tile width (default 256),
+      ``keep_div`` the *next* phase solves ceil(B_i / keep_div) poses.
+
+    Phase i screens its batch, a stable failures-first argsort compacts the
+    failed poses into the next (smaller) batch, and the last phase replays
+    the **full** ``cfg`` restart schedule.  Results merge back up the chain.
+
+    The found mask is a superset of the single-shot schedule's: every pose
+    that fails all screens gets the complete single-shot schedule (unless
+    its tail overflows ``keep_div`` — size tails generously), and every
+    screen success satisfies the same tolerances under a prefix of the same
+    fold_in seed table.  Selection stays deterministic at any batch size.
     """
     if cfg.solution_mode != SolutionMode.SPEED:
         raise ValueError("cascade scheduling is Speed-mode only")
-    s = min(cfg.seed_batch, cfg.total_restarts)
-    r1 = phase1_rounds * s
-    if cfg.total_restarts <= r1:
-        raise ValueError("restart budget fits in phase 1; use the kernel")
 
-    blk2 = p_blk2 or p_blk
-    solve1 = lm_kernel.build_kernel_solver(
-        spec, cfg.replace(max_restarts=r1), dtype, p_blk=p_blk,
-        interpret=interpret)
-    solve2 = lm_kernel.build_kernel_solver(
-        spec, cfg, dtype, p_blk=blk2, interpret=interpret)
+    solvers = []   # (solve_fn, keep_div or None, granule of next phase)
+    for sc in screens:
+        s = min(sc["seeds"], cfg.total_restarts)
+        r = sc.get("rounds", 1) * s
+        if cfg.total_restarts <= r:
+            raise ValueError("screen budget exceeds the total; drop it")
+        c = cfg.replace(max_restarts=r, seed_batch=s)
+        if sc.get("iters"):
+            c = c.replace(max_iters=sc["iters"])
+        solvers.append((lm_kernel.build_kernel_solver(
+            spec, c, dtype, p_blk=sc.get("p_blk", 256),
+            interpret=interpret), sc.get("keep_div", 8)))
+
+    s_f = min(cfg.seed_batch, cfg.total_restarts)
+    final = lm_kernel.build_kernel_solver(spec, cfg, dtype,
+                                          p_blk=final_p_blk,
+                                          interpret=interpret)
+    unit_f = final_p_blk * _pack(s_f)
+
+    # Granule of the batch each phase *receives*: screens after the first
+    # get compacted batches, which must match their own p_blk * pack.
+    units = []
+    for sc in screens[1:]:
+        units.append(sc.get("p_blk", 256) * _pack(min(sc["seeds"],
+                                                      cfg.total_restarts)))
+    units.append(unit_f)
 
     def solve(tgt_r, tgt_t, x0):
-        b = tgt_r.shape[0]
-        b2 = min(b, -(-max(b // tail_div, 1) // blk2) * blk2)
-        res1 = solve1(tgt_r, tgt_t, x0)
-        idx, tr2, tt2, x02 = _compact(res1.found, tgt_r, tgt_t, x0, b2)
-        res2 = solve2(tr2, tt2, x02)
-        return _merge(res1, idx, res2)
+        stack = []  # (res_i, idx_into_parent) per screen
+        tr, tt, xs = tgt_r, tgt_t, x0
+        for (fn, keep_div), unit in zip(solvers, units):
+            res = fn(tr, tt, xs)
+            b = tr.shape[0]
+            nxt = min(b, -(-max(b // keep_div, 1) // unit) * unit)
+            idx, tr, tt, xs = _compact(res.found, tr, tt, xs, nxt)
+            stack.append((res, idx))
+        out = final(tr, tt, xs)
+        for res, idx in reversed(stack):
+            out = _merge(res, idx, out)
+        return out
 
     return solve
+
+
+def build_cascade_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
+                         p_blk: int = 256, phase1_rounds: int = 2,
+                         tail_div: int = 8, p_blk2: int | None = None,
+                         phase1_seeds: int | None = None,
+                         phase1_iters: int | None = None,
+                         interpret: bool = False):
+    """Two-phase cascade (one screen + full replay); see
+    :func:`build_multiphase_solver` for semantics and the N-phase form.
+
+    ``phase1_seeds``/``phase1_iters`` let the screen run a smaller budget
+    and a denser pose-packed layout than the replay (S < 8 seed lanes pack
+    ``8 // S`` poses per tile column, covering more poses per block at the
+    same lane cost).  B must be a multiple of ``p_blk`` times the phase-1
+    pack factor.
+    """
+    screen = {"seeds": phase1_seeds or cfg.seed_batch,
+              "rounds": phase1_rounds, "iters": phase1_iters,
+              "p_blk": p_blk, "keep_div": tail_div}
+    return build_multiphase_solver(spec, cfg, screens=[screen],
+                                   final_p_blk=p_blk2 or p_blk,
+                                   dtype=dtype, interpret=interpret)

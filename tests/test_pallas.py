@@ -137,3 +137,67 @@ def test_cascade_tail_overflow(robot):
     np.testing.assert_array_equal(np.asarray(got.found),
                                   np.asarray(got2.found))
     np.testing.assert_array_equal(np.asarray(got.x), np.asarray(got2.x))
+
+
+def test_cascade_packed_screen(robot):
+    """Packed phase-1 screening (phase1_seeds < seed_batch): the found mask
+    must cover the single-shot mask, every reported success must meet the
+    tolerance and reach its target, and repeat solves are bitwise equal."""
+    from optik_tpu.solver import cascade
+
+    cfg = SolverConfig.create("speed", max_restarts=48, seed_batch=8,
+                              max_iters=32)
+    B = 32
+    tr, tt, x0 = make_problem(robot, B, seed=5)
+
+    ref = robot.ik_batch(cfg, tr, tt, x0)
+    fn = cascade.build_cascade_solver(robot.spec, cfg, p_blk=4, tail_div=2,
+                                      p_blk2=8, phase1_seeds=2,
+                                      phase1_rounds=2, phase1_iters=24,
+                                      interpret=True)
+    got = fn(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+    got2 = fn(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+
+    assert np.all(np.asarray(got.found) >= np.asarray(ref.found))
+    found = np.asarray(got.found)
+    assert np.all(np.asarray(got.cost)[found] <= cfg.tol_f * (1 + 1e-5))
+    xr, xt = robot.fk_batch(np.asarray(got.x)[found])
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(tr)[found],
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(tt)[found],
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(got.found),
+                                  np.asarray(got2.found))
+    np.testing.assert_array_equal(np.asarray(got.x), np.asarray(got2.x))
+
+
+def test_cascade_multiphase(robot):
+    """Three-phase cascade: packed screen -> 8-seed re-screen -> replay.
+    Found mask covers single-shot, solutions meet tolerance, deterministic."""
+    from optik_tpu.solver import cascade
+
+    cfg = SolverConfig.create("speed", max_restarts=48, seed_batch=8,
+                              max_iters=32)
+    B = 32
+    tr, tt, x0 = make_problem(robot, B, seed=6)
+
+    ref = robot.ik_batch(cfg, tr, tt, x0)
+    fn = cascade.build_multiphase_solver(
+        robot.spec, cfg,
+        screens=[{"seeds": 2, "rounds": 1, "p_blk": 4, "keep_div": 2},
+                 {"seeds": 8, "rounds": 1, "p_blk": 8, "keep_div": 2}],
+        final_p_blk=8, interpret=True)
+    got = fn(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+    got2 = fn(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+
+    assert np.all(np.asarray(got.found) >= np.asarray(ref.found))
+    found = np.asarray(got.found)
+    assert np.all(np.asarray(got.cost)[found] <= cfg.tol_f * (1 + 1e-5))
+    xr, xt = robot.fk_batch(np.asarray(got.x)[found])
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(tr)[found],
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(tt)[found],
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(got.found),
+                                  np.asarray(got2.found))
+    np.testing.assert_array_equal(np.asarray(got.x), np.asarray(got2.x))
