@@ -37,7 +37,7 @@ def main():
 
     # The unrolled solver body compiles slowly through a remote-compile
     # tunnel; persist compiled executables so reruns start hot.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     import jax.numpy as jnp
@@ -71,7 +71,7 @@ def main():
                                              p_blk2=256)
     except Exception:
         solver_path = "xla"
-        solve = robot._solver(cfg, with_ee=False)
+        solve = robot._solver(cfg)
 
     def make_batch():
         # Targets/seeds stay device-resident (fk_batch outputs live on the
@@ -93,7 +93,7 @@ def main():
         jax.block_until_ready(res)
     except Exception:
         solver_path = "xla"
-        solve = robot._solver(cfg, with_ee=False)
+        solve = robot._solver(cfg)
         res = solve(tr, tt, x0)
         jax.block_until_ready(res)
 

@@ -24,7 +24,9 @@ import numpy as np
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
 
     import jax.numpy as jnp
 

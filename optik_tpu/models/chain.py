@@ -112,3 +112,15 @@ class ChainSpec:
     def joint_limits(self) -> Tuple[np.ndarray, np.ndarray]:
         """(lower, upper) limit vectors, flattened per position (lib.rs:78-84)."""
         return self.lower.copy(), self.upper.copy()
+
+    def content_key(self) -> tuple:
+        """Hashable value key over the chain's content.
+
+        Used for solver caches: ``id(spec)`` is unsafe (ids are recycled
+        after GC, so a dead spec's cache entry could serve a new robot).
+        """
+        return (self.joint_names,
+                self.origin_r.tobytes(), self.origin_t.tobytes(),
+                self.axis.tobytes(), self.prismatic.tobytes(),
+                self.lower.tobytes(), self.upper.tobytes(),
+                self.tip_r.tobytes(), self.tip_t.tobytes())

@@ -46,8 +46,34 @@ from ...solver.lm_soa import lm_loop
 _ROWS = 8  # f32 tile sublane count: the physical row dimension of all lanes
 
 
+def fold_ee_offset(consts, ee_offset):
+    """Compose a constant EE offset into the chain's synthetic tip joint.
+
+    ``ee_offset`` is a 4x4 matrix or an ``(R (3,3), t (3,))`` pair.  The
+    reference applies the offset as ``ee = last_joint * ee_offset``
+    (kinematics.rs:163); with the tip transform T and offset E this is
+    ``T' = T @ E`` — a trace-time constant fold, so the kernel pays nothing.
+    """
+    org_r, org_t, axes, pris, tip_r, tip_t, has_tip = consts
+    if isinstance(ee_offset, tuple):
+        er, et = np.asarray(ee_offset[0], np.float64), \
+            np.asarray(ee_offset[1], np.float64)
+    else:
+        m = np.asarray(ee_offset, np.float64)
+        er, et = m[:3, :3], m[:3, 3]
+    tr = np.asarray(tip_r, np.float64)
+    tt = np.asarray(tip_t, np.float64)
+    new_r = tr @ er
+    new_t = tt + tr @ et
+    new_tip_r = [[float(new_r[i, k]) for k in range(3)] for i in range(3)]
+    new_tip_t = [float(new_t[i]) for i in range(3)]
+    has = not (np.allclose(new_r, np.eye(3)) and np.allclose(new_t, 0.0))
+    return org_r, org_t, axes, pris, new_tip_r, new_tip_t, has
+
+
 def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
-                        p_blk: int = 256, interpret: bool = False):
+                        p_blk: int = 256, interpret: bool = False,
+                        ee_offset=None):
     """Compile a Pallas-backed batched IK solver for one robot+config.
 
     Returns ``fn(tgt_r (B,3,3), tgt_t (B,3), x0 (B,A)) -> IKResult``.
@@ -56,8 +82,18 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
     docstring), and B must be a multiple of ``p_blk * (8 // S)``.  The
     remaining budget runs through continuous reseeding, identical to the
     XLA path.
+
+    ``ee_offset``, when given as a 4x4 (or (R (3,3), t (3,)) pair), is
+    constant for the solver build and folds into the chain's synthetic tip
+    joint — zero runtime cost, same contract as threading it through FK
+    (reference: crates/optik/src/kinematics.rs:163, lib.rs:241-247).
+    Per-axis linear/angular weighting from the config is applied exactly as
+    on the XLA path (conjugated with each lane's target rotation; reference
+    contract crates/optik/src/objective.rs:7-38,102-104).
     """
     consts = soa.chain_constants(spec)
+    if ee_offset is not None:
+        consts = fold_ee_offset(consts, ee_offset)
     a = spec.num_positions
     lower = [float(v) for v in spec.lower]
     upper = [float(v) for v in spec.upper]
@@ -127,9 +163,16 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
             else:
                 qx0 = [qx0_ref[p] for p in range(a)]
 
+        # Per-axis weighting, conjugated with each lane's target rotation —
+        # identical construction to the XLA path (solver/lm_soa.solve_soa);
+        # None when both weights are identity.  Omitting this silently
+        # solves the unweighted objective (round-1 confirmed bug).
+        weight6 = soa.weight6_from_config(tgtm, cfg.linear_weight,
+                                          cfg.angular_weight)
+
         with soa.approx_atan2():
             res = lm_loop(
-            consts, lower, upper, opts, xs0, tgtm, tgtt,
+            consts, lower, upper, opts, xs0, tgtm, tgtt, weight6=weight6,
             seed_lookup=seed_lookup, lane_index=lane_index,
             total_restarts=r_total, s_lanes=s,
             success_stops_group=(mode == SolutionMode.SPEED),

@@ -70,7 +70,9 @@ def ik_sharded(robot, cfg: SolverConfig, tgt_r, tgt_t, x0,
     if cfg.total_restarts % mesh.shape["seed"]:
         raise ValueError("restart count not divisible by mesh 'seed' axis")
 
-    key = (id(robot.spec), cfg, mesh)
+    # Keyed on the spec's *content*, not id() — ids are recycled after GC
+    # and a stale entry would serve the wrong chain constants.
+    key = (robot.spec.content_key(), robot.dtype, cfg, mesh)
     fn = _solver_cache.get(key)
     if fn is None:
         fn = ik_mod.build_batch_solver(robot.spec, cfg, robot.dtype,

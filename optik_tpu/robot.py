@@ -20,6 +20,7 @@ are convenience wrappers (one compile each, then O(100us) dispatch).
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -69,31 +70,42 @@ class Robot:
         self.dtype = dtype or _default_dtype()
         self.params = K.ChainParams.from_spec(spec, dtype=self.dtype)
         self._rng = np.random.default_rng()
-        # Compiled SoA solvers, keyed by (config, has_ee_offset).
+        # Compiled SoA solvers, keyed by config (+ ee-offset bytes on the
+        # kernel path, where the offset is folded in at build time).
         self._solvers = {}
 
-    def _solver(self, config: SolverConfig, with_ee: bool):
-        key = (config, with_ee)
-        fn = self._solvers.get(key)
+    def _solver(self, config: SolverConfig):
+        fn = self._solvers.get(config)
         if fn is None:
-            fn = ik_mod.build_batch_solver(self.spec, config, self.dtype,
-                                           with_ee=with_ee)
-            self._solvers[key] = fn
+            fn = ik_mod.build_batch_solver(self.spec, config, self.dtype)
+            self._solvers[config] = fn
         return fn
 
-    def _kernel_solver(self, config: SolverConfig):
+    def _kernel_fallback(self, exc: BaseException, stage: str) -> None:
+        """Record a permanent kernel->XLA downgrade, loudly (once)."""
+        self._kernel_broken = True
+        warnings.warn(
+            f"optik_tpu: Pallas kernel {stage} failed; this Robot falls "
+            f"back to the ~10x-slower XLA solver path permanently. "
+            f"Cause: {type(exc).__name__}: {exc}",
+            RuntimeWarning, stacklevel=3)
+
+    def _kernel_solver(self, config: SolverConfig, ee_offset=None):
         """(solver, p_blk) on the Pallas path, or None when unavailable.
 
-        Only used on TPU backends (the kernel targets Mosaic); any build
-        failure permanently falls back to the XLA path for this robot.
-        The pose-block width shrinks as the seed-lane count grows so the
-        solver state (~75 lane-shaped f32 arrays) stays within VMEM.
+        Only used on TPU backends (the kernel targets Mosaic); a build
+        failure falls back to the XLA path for this robot with a warning
+        (see :meth:`_kernel_fallback`).  A constant ``ee_offset`` (given as
+        an ``(R, t)`` pair of ndarrays) folds into the chain tip at build
+        time and becomes part of the solver cache key.  The pose-block
+        width shrinks as the seed-lane count grows so the solver state
+        (~75 lane-shaped f32 arrays) stays within VMEM.
         """
         if getattr(self, "_kernel_broken", False):
             return None
         try:
             platform = jax.devices()[0].platform
-        except Exception:
+        except RuntimeError:
             return None
         if platform not in ("tpu", "axon"):
             return None
@@ -104,16 +116,21 @@ class Robot:
             p_blk = 128
         else:
             return None  # too much per-block state; XLA path handles it
-        key = ("kernel", config)
+        ee_key = None
+        if ee_offset is not None:
+            ee_key = (np.asarray(ee_offset[0], np.float64).tobytes()
+                      + np.asarray(ee_offset[1], np.float64).tobytes())
+        key = ("kernel", config, ee_key)
         entry = self._solvers.get(key)
         if entry is None:
             try:
                 from .ops.pallas import lm_kernel
 
                 fn = lm_kernel.build_kernel_solver(
-                    self.spec, config, dtype=self.dtype, p_blk=p_blk)
-            except Exception:
-                self._kernel_broken = True
+                    self.spec, config, dtype=self.dtype, p_blk=p_blk,
+                    ee_offset=ee_offset)
+            except (RuntimeError, NotImplementedError, ValueError) as exc:
+                self._kernel_fallback(exc, "build")
                 return None
             entry = (fn, p_blk)
             self._solvers[key] = entry
@@ -288,7 +305,7 @@ class Robot:
         self._check_seed_in_limits(x0)
         tgt_r, tgt_t = _parse_pose(target, self.dtype)
         ee_r, ee_t = self._ee_offset(ee_offset)
-        fn = self._solver(config, ee_offset is not None)
+        fn = self._solver(config)
         res = fn(tgt_r[None], tgt_t[None],
                  jnp.asarray(x0, self.dtype)[None], ee_r, ee_t)
         if not bool(res.found[0]):
@@ -314,41 +331,43 @@ class Robot:
 
         # On TPU, route through the VMEM-resident Pallas kernel (~10x the
         # XLA path); poses pad up to the kernel block size and the padding
-        # is dropped from the result.  EE offsets take the XLA path.
-        if ee_offset is None:
-            kentry = self._kernel_solver(config)
-            if kentry is not None:
-                kfn, blk = kentry
-                b = tgt_r.shape[0]
-                b_pad = -(-b // blk) * blk
+        # is dropped from the result.  Per-axis weights and a constant
+        # ee_offset both stay on the kernel path (the offset folds into the
+        # chain tip at solver-build time).
+        kentry = self._kernel_solver(
+            config, None if ee_offset is None else (ee_r, ee_t))
+        if kentry is not None:
+            kfn, blk = kentry
+            b = tgt_r.shape[0]
+            b_pad = -(-b // blk) * blk
+            if b_pad != b:
+                pad = b_pad - b
+                tgt_r_p = jnp.concatenate(
+                    [tgt_r, jnp.broadcast_to(tgt_r[-1:],
+                                             (pad, 3, 3))], axis=0)
+                tgt_t_p = jnp.concatenate(
+                    [tgt_t, jnp.broadcast_to(tgt_t[-1:], (pad, 3))],
+                    axis=0)
+                x0_p = jnp.concatenate(
+                    [x0j, jnp.broadcast_to(x0j[-1:],
+                                           (pad, x0j.shape[1]))], axis=0)
+            else:
+                tgt_r_p, tgt_t_p, x0_p = tgt_r, tgt_t, x0j
+            try:
+                # Mosaic compiles lazily at first execution, so build
+                # success does not guarantee the kernel runs on this
+                # platform; fall back to XLA on failure (with a warning).
+                res = kfn(tgt_r_p, tgt_t_p, x0_p)
+            except (RuntimeError, NotImplementedError, ValueError) as exc:
+                self._kernel_fallback(exc, "execution")
+                res = None
+            if res is not None:
                 if b_pad != b:
-                    pad = b_pad - b
-                    tgt_r_p = jnp.concatenate(
-                        [tgt_r, jnp.broadcast_to(tgt_r[-1:],
-                                                 (pad, 3, 3))], axis=0)
-                    tgt_t_p = jnp.concatenate(
-                        [tgt_t, jnp.broadcast_to(tgt_t[-1:], (pad, 3))],
-                        axis=0)
-                    x0_p = jnp.concatenate(
-                        [x0j, jnp.broadcast_to(x0j[-1:],
-                                               (pad, x0j.shape[1]))], axis=0)
-                else:
-                    tgt_r_p, tgt_t_p, x0_p = tgt_r, tgt_t, x0j
-                try:
-                    # Mosaic compiles lazily at first execution, so build
-                    # success does not guarantee the kernel runs on this
-                    # platform; fall back to XLA permanently on failure.
-                    res = kfn(tgt_r_p, tgt_t_p, x0_p)
-                except Exception:
-                    self._kernel_broken = True
-                    res = None
-                if res is not None:
-                    if b_pad != b:
-                        res = ik_mod.IKResult(found=res.found[:b],
-                                              x=res.x[:b], cost=res.cost[:b])
-                    return res
+                    res = ik_mod.IKResult(found=res.found[:b],
+                                          x=res.x[:b], cost=res.cost[:b])
+                return res
 
-        fn = self._solver(config, ee_offset is not None)
+        fn = self._solver(config)
         return fn(tgt_r, tgt_t, x0j, ee_r, ee_t)
 
     # --- differential IK --------------------------------------------------

@@ -79,7 +79,7 @@ def _pack(seeds):
 def build_multiphase_solver(spec, cfg: SolverConfig, *, screens,
                             final_p_blk: int = 256, final_div: int | None
                             = None, dtype=jnp.float32,
-                            interpret: bool = False):
+                            interpret: bool = False, ee_offset=None):
     """Compile an N-phase cascade; fn(tgt_r, tgt_t, x0) -> IKResult.
 
     ``screens`` is a list of dicts, one per screening pass, each with keys
@@ -114,12 +114,14 @@ def build_multiphase_solver(spec, cfg: SolverConfig, *, screens,
             c = c.replace(max_iters=sc["iters"])
         solvers.append((lm_kernel.build_kernel_solver(
             spec, c, dtype, p_blk=sc.get("p_blk", 256),
-            interpret=interpret), sc.get("keep_div", 8)))
+            interpret=interpret, ee_offset=ee_offset),
+            sc.get("keep_div", 8)))
 
     s_f = min(cfg.seed_batch, cfg.total_restarts)
     final = lm_kernel.build_kernel_solver(spec, cfg, dtype,
                                           p_blk=final_p_blk,
-                                          interpret=interpret)
+                                          interpret=interpret,
+                                          ee_offset=ee_offset)
     unit_f = final_p_blk * _pack(s_f)
 
     # Granule of the batch each phase *receives*: screens after the first
@@ -152,7 +154,7 @@ def build_cascade_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
                          tail_div: int = 8, p_blk2: int | None = None,
                          phase1_seeds: int | None = None,
                          phase1_iters: int | None = None,
-                         interpret: bool = False):
+                         interpret: bool = False, ee_offset=None):
     """Two-phase cascade (one screen + full replay); see
     :func:`build_multiphase_solver` for semantics and the N-phase form.
 
@@ -167,4 +169,5 @@ def build_cascade_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
               "p_blk": p_blk, "keep_div": tail_div}
     return build_multiphase_solver(spec, cfg, screens=[screen],
                                    final_p_blk=p_blk2 or p_blk,
-                                   dtype=dtype, interpret=interpret)
+                                   dtype=dtype, interpret=interpret,
+                                   ee_offset=ee_offset)

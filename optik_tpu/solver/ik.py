@@ -110,8 +110,7 @@ def _select(mode: SolutionMode, xs, fs, success, x0, restart_idx=None):
     return IKResult(found=jnp.any(success), x=xs[idx], cost=fs[idx])
 
 
-def build_batch_solver(spec, cfg: SolverConfig, dtype, with_ee: bool = False,
-                       mesh=None):
+def build_batch_solver(spec, cfg: SolverConfig, dtype, mesh=None):
     """Compile a batched IK solver for one robot+config (the fast path).
 
     The chain spec is baked into the trace as static floats (SoA path, see

@@ -152,6 +152,44 @@ def test_weighted_ik(robot):
     assert sol[1] <= cfg.tol_f
 
 
+def test_ik_batch_ee_offset(robot):
+    """ee_offset threads through the *batched* solver (round-1 gap: only
+    FK-level and native coverage existed).  Targets generated with the
+    offset must be solved with the offset, and FK(solution, offset) must
+    reach them (lib.rs:241-247)."""
+    rng = np.random.default_rng(21)
+    ee = np.eye(4)
+    ee[:3, :3] = np.array([[1.0, 0.0, 0.0],
+                           [0.0, 0.0, -1.0],
+                           [0.0, 1.0, 0.0]])
+    ee[:3, 3] = [0.0, 0.05, 0.1]
+
+    B = 8
+    qt = rng.random((B, robot.num_positions()))
+    tr, tt = robot.fk_batch(qt, ee_offset=ee)
+    lo, hi = robot.joint_limits()
+    lo = np.where(np.isfinite(lo), lo, -np.pi)
+    hi = np.where(np.isfinite(hi), hi, np.pi)
+    x0 = rng.uniform(lo, hi, size=(B, robot.num_positions()))
+
+    cfg = SolverConfig(max_restarts=32, max_iters=48)
+    res = robot.ik_batch(cfg, tr, tt, x0, ee_offset=ee)
+    found = np.asarray(res.found)
+    assert found.sum() >= B - 1  # reachable targets: near-total success
+    xr, xt = robot.fk_batch(np.asarray(res.x)[found], ee_offset=ee)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(tr)[found],
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(tt)[found],
+                               atol=1e-3)
+
+    # Without the offset the same targets must NOT be systematically
+    # reached (guards against the offset silently being dropped).
+    res_no = robot.ik_batch(cfg, tr, tt, x0)
+    xr2, xt2 = robot.fk_batch(np.asarray(res_no.x), ee_offset=ee)
+    err = np.linalg.norm(np.asarray(xt2) - np.asarray(tt), axis=-1)
+    assert err.max() > 1e-3
+
+
 def test_tol_dx_success(robot):
     """tol_dx >= 0 makes small steps a success criterion (lib.rs:379)."""
     rng = np.random.default_rng(9)

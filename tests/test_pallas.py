@@ -95,6 +95,103 @@ def test_packed_kernel_matches_xla(robot, mode, restarts, seed_batch):
     assert np.all(np.asarray(got.cost)[found] <= cfg.tol_f * (1 + 1e-5))
 
 
+@pytest.mark.parametrize("mode,restarts,seed_batch", [
+    ("speed", 8, 8),
+    ("speed", 24, 4),       # pose-packed + reseed
+    ("quality", 24, 8),
+])
+def test_kernel_weighted_matches_xla(robot, mode, restarts, seed_batch):
+    """Per-axis weights reach the kernel (round-1 regression: the kernel
+    silently dropped them, solving the unweighted objective).  Under the
+    same atan2 approximation the kernel must reproduce the *weighted* XLA
+    path exactly, and must NOT match the unweighted one."""
+    from optik_tpu.ops import soa
+    from optik_tpu.ops.pallas import lm_kernel
+    from optik_tpu.solver import ik as ik_mod
+
+    cfg = SolverConfig.create(mode, max_restarts=restarts,
+                              seed_batch=seed_batch, max_iters=32,
+                              linear_weight=(0.0, 1.0, 1.0),
+                              angular_weight=(0.5, 1.0, 2.0))
+    B = 16
+    tr, tt, x0 = make_problem(robot, B, seed=11)
+
+    with soa.approx_atan2():
+        ref_fn = ik_mod.build_batch_solver(robot.spec, cfg, jnp.float32)
+        ref = ref_fn(tr, tt, x0)
+        fn = lm_kernel.build_kernel_solver(
+            robot.spec, cfg, p_blk=B // (8 // seed_batch) // 2,
+            interpret=True)
+        got = fn(tr, tt, x0)
+        un_fn = ik_mod.build_batch_solver(
+            robot.spec, cfg.replace(linear_weight=(1.0, 1.0, 1.0),
+                                    angular_weight=(1.0, 1.0, 1.0)),
+            jnp.float32)
+        unweighted = un_fn(tr, tt, x0)
+
+    np.testing.assert_array_equal(np.asarray(got.found),
+                                  np.asarray(ref.found))
+    found = np.asarray(ref.found)
+    np.testing.assert_allclose(np.asarray(got.x)[found],
+                               np.asarray(ref.x)[found], atol=1e-5)
+    assert np.all(np.asarray(got.cost)[found] <= cfg.tol_f * (1 + 1e-5))
+    # The weighted solve must actually differ from the unweighted one
+    # (zero x-weight admits solutions with x-translation error).
+    assert not np.allclose(np.asarray(got.x), np.asarray(unweighted.x),
+                           atol=1e-3)
+
+
+@pytest.mark.parametrize("seed_batch", [8, 4])
+def test_kernel_ee_offset_matches_xla(robot, seed_batch):
+    """A constant ee_offset folds into the kernel's chain tip: results must
+    match the XLA path's runtime ee threading (reference contract:
+    lib.rs:241-247, kinematics.rs:163)."""
+    from optik_tpu.ops import soa
+    from optik_tpu.ops.pallas import lm_kernel
+    from optik_tpu.solver import ik as ik_mod
+
+    ee = np.eye(4)
+    ee[:3, :3] = np.array([[0.0, -1.0, 0.0],
+                           [1.0, 0.0, 0.0],
+                           [0.0, 0.0, 1.0]])
+    ee[:3, 3] = [0.03, -0.01, 0.12]
+
+    cfg = SolverConfig.create("speed", max_restarts=24,
+                              seed_batch=seed_batch, max_iters=32)
+    B = 16
+    rng = np.random.default_rng(13)
+    lo, hi = robot.joint_limits()
+    qt = rng.uniform(lo, hi, size=(B, 7))
+    tr, tt = robot.fk_batch(qt, ee_offset=ee)
+    tr = np.asarray(tr, np.float32)
+    tt = np.asarray(tt, np.float32)
+    x0 = rng.uniform(lo, hi, size=(B, 7)).astype(np.float32)
+
+    ee_r = jnp.asarray(ee[:3, :3], jnp.float32)
+    ee_t = jnp.asarray(ee[:3, 3], jnp.float32)
+    with soa.approx_atan2():
+        ref_fn = ik_mod.build_batch_solver(robot.spec, cfg, jnp.float32)
+        ref = ref_fn(tr, tt, x0, ee_r, ee_t)
+        fn = lm_kernel.build_kernel_solver(
+            robot.spec, cfg, p_blk=B // (8 // seed_batch) // 2,
+            interpret=True, ee_offset=(ee[:3, :3], ee[:3, 3]))
+        got = fn(tr, tt, x0)
+
+    np.testing.assert_array_equal(np.asarray(got.found),
+                                  np.asarray(ref.found))
+    found = np.asarray(ref.found)
+    # Build-time tip folding (f64 compose -> f32 constants) rounds
+    # differently from the XLA path's runtime ee threading, so iterates
+    # diverge; a pose can even converge on a different (equally valid) IK
+    # branch when another restart wins the perturbed race.  The contract is
+    # therefore behavioral: identical found mask, costs meet the tolerance,
+    # and FK through the offset reaches the target.
+    assert np.all(np.asarray(got.cost)[found] <= cfg.tol_f * (1 + 1e-5))
+    xr, xt = robot.fk_batch(np.asarray(got.x)[found], ee_offset=ee)
+    np.testing.assert_allclose(np.asarray(xr), tr[found], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xt), tt[found], atol=2e-3)
+
+
 def test_cascade_matches_single_shot(robot):
     """Cascade scheduling: identical found mask, valid solutions."""
     from optik_tpu.solver import cascade
