@@ -29,6 +29,25 @@ _lib = None
 _ERR_LEN = 512
 
 
+class CSolverConfig(ctypes.Structure):
+    """Mirror of ``optik_host_solver_config`` (include/optik_host.h), which
+    itself mirrors the reference's repr(C) CSolverConfig
+    (crates/optik-cpp/src/lib.rs:11-20) plus deterministic budget knobs."""
+
+    _fields_ = [
+        ("solution_mode", ctypes.c_int),     # 1 = quality, 2 = speed
+        ("max_time", ctypes.c_double),
+        ("max_restarts", ctypes.c_int),
+        ("tol_f", ctypes.c_double),
+        ("tol_df", ctypes.c_double),
+        ("tol_dx", ctypes.c_double),
+        ("linear_weight", ctypes.c_double * 3),
+        ("angular_weight", ctypes.c_double * 3),
+        ("max_iters", ctypes.c_int),
+        ("rng_seed", ctypes.c_uint64),
+    ]
+
+
 def build(force: bool = False) -> pathlib.Path:
     """Compile liboptik_host.so if missing or stale; returns its path."""
     if (not force and _LIB.exists()
@@ -74,6 +93,12 @@ def _load():
         lib.optik_host_ik.argtypes = [
             ctypes.c_void_p, dptr, dptr, dptr, ctypes.c_double, ctypes.c_int,
             ctypes.c_int, ctypes.c_uint64, dptr, dptr]
+        lib.optik_host_solver_config_default.restype = CSolverConfig
+        lib.optik_host_solver_config_default.argtypes = []
+        lib.optik_host_ik_cfg.restype = ctypes.c_int
+        lib.optik_host_ik_cfg.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(CSolverConfig), dptr, dptr, dptr,
+            dptr, dptr]
         lib.optik_host_diff_ik.restype = ctypes.c_int
         lib.optik_host_diff_ik.argtypes = [
             ctypes.c_void_p, dptr, dptr, dptr, dptr, dptr, dptr]
@@ -177,17 +202,40 @@ class HostChain:
         return out.reshape(6, self.n)
 
     def ik(self, target, x0, tol_f: float = 1e-6, max_iters: int = 64,
-           max_restarts: int = 64, rng_seed: int = 42, ee_offset=None
+           max_restarts: int = 64, rng_seed: int = 42, ee_offset=None,
+           solution_mode: str = "speed", tol_df: float = -1.0,
+           tol_dx: float = -1.0,
+           linear_weight=(1.0, 1.0, 1.0), angular_weight=(1.0, 1.0, 1.0),
            ) -> Optional[Tuple[np.ndarray, float]]:
+        """Single-solve IK with the full reference config surface.
+
+        Mirrors the reference C ABI's CSolverConfig fields
+        (crates/optik-cpp/src/lib.rs:11-20): Speed/Quality selection,
+        per-axis weights, tol_df/tol_dx success criteria.  An out-of-limits
+        seed raises ValueError with the reference's panic message
+        (lib.rs:251-254)."""
         target = np.ascontiguousarray(target, dtype=np.float64)
         x0 = np.ascontiguousarray(x0, dtype=np.float64)
         _keep, ee_ptr = _opt_pose_ptr(ee_offset)
         x_out = np.empty(self.n)
         f_out = np.empty(1)
-        ok = self._lib.optik_host_ik(
-            self._ptr, _as_dptr(target), _as_dptr(x0), ee_ptr,
-            ctypes.c_double(tol_f), max_iters, max_restarts,
-            ctypes.c_uint64(rng_seed), _as_dptr(x_out), _as_dptr(f_out))
+
+        cfg = self._lib.optik_host_solver_config_default()
+        cfg.solution_mode = {"quality": 1, "speed": 2}[solution_mode]
+        cfg.max_restarts = max_restarts
+        cfg.tol_f = tol_f
+        cfg.tol_df = tol_df
+        cfg.tol_dx = tol_dx
+        cfg.linear_weight = (ctypes.c_double * 3)(*linear_weight)
+        cfg.angular_weight = (ctypes.c_double * 3)(*angular_weight)
+        cfg.max_iters = max_iters
+        cfg.rng_seed = rng_seed
+
+        ok = self._lib.optik_host_ik_cfg(
+            self._ptr, ctypes.byref(cfg), _as_dptr(target), _as_dptr(x0),
+            ee_ptr, _as_dptr(x_out), _as_dptr(f_out))
+        if ok < 0:
+            raise ValueError("seed joint position outside of joint limits")
         if not ok:
             return None
         return x_out, float(f_out[0])

@@ -29,13 +29,24 @@ inline Pose IdentityPose() {
   return {1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1};
 }
 
-// Solver parameters for Robot::DoIk.  The reference's wall-clock max_time is
-// replaced by deterministic iteration/restart budgets (its SolverConfig
-// counterpart lives at crates/optik-cpp/include/optik.hpp:18-27).
+// Winner selection among successful restarts (config.rs:3-8).
+enum class SolutionMode : int { kQuality = 1, kSpeed = 2 };
+
+// Solver parameters for Robot::DoIk: the full reference config surface
+// (its SolverConfig counterpart lives at crates/optik-cpp/include/
+// optik.hpp:18-27).  The wall-clock max_time is accepted for parity but the
+// budgets are the deterministic max_restarts x max_iters; tol_df/tol_dx < 0
+// means unset (see include/optik_host.h for the exact stopping semantics).
 struct SolverConfig {
-  double tol_f = 1e-6;
-  int max_iters = 64;
+  SolutionMode solution_mode = SolutionMode::kSpeed;
+  double max_time = 0.1;
   int max_restarts = 64;
+  double tol_f = 1e-6;
+  double tol_df = -1.0;
+  double tol_dx = -1.0;
+  std::array<double, 3> linear_weight = {1.0, 1.0, 1.0};
+  std::array<double, 3> angular_weight = {1.0, 1.0, 1.0};
+  int max_iters = 64;
   uint64_t rng_seed = 42;
 };
 
@@ -113,15 +124,33 @@ class Robot {
     return jac;
   }
 
-  // Random-restart IK; true + (q_out, cost_out) on success.
+  // Random-restart IK; true + (q_out, cost_out) on success.  Throws
+  // std::invalid_argument when the seed lies outside the joint limits
+  // (the reference panics there, lib.rs:251-254).
   bool DoIk(const SolverConfig& config, const Pose& target,
             const std::vector<double>& x0, std::vector<double>* q_out,
             double* cost_out, const Pose* ee_offset = nullptr) const {
     q_out->resize(num_positions());
-    return optik_host_ik(inner_, target.data(), x0.data(),
-                         ee_offset ? ee_offset->data() : nullptr, config.tol_f,
-                         config.max_iters, config.max_restarts,
-                         config.rng_seed, q_out->data(), cost_out) != 0;
+    optik_host_solver_config c = optik_host_solver_config_default();
+    c.solution_mode = static_cast<int>(config.solution_mode);
+    c.max_time = config.max_time;
+    c.max_restarts = config.max_restarts;
+    c.tol_f = config.tol_f;
+    c.tol_df = config.tol_df;
+    c.tol_dx = config.tol_dx;
+    for (int i = 0; i < 3; ++i) {
+      c.linear_weight[i] = config.linear_weight[i];
+      c.angular_weight[i] = config.angular_weight[i];
+    }
+    c.max_iters = config.max_iters;
+    c.rng_seed = config.rng_seed;
+    const int r = optik_host_ik_cfg(
+        inner_, &c, target.data(), x0.data(),
+        ee_offset ? ee_offset->data() : nullptr, q_out->data(), cost_out);
+    if (r < 0)
+      throw std::invalid_argument(
+          "seed joint position outside of joint limits");
+    return r != 0;
   }
 
   // Velocity-limited differential IK; true + (alpha, v) on success.

@@ -66,9 +66,52 @@ void optik_host_jacobian(const void* chain, const double* q,
 
 /* --- solvers ---------------------------------------------------------------*/
 
-/* Random-restart damped Gauss-Newton IK.  Restart 0 starts at x0; restart i
- * draws deterministically from stream rng_seed + i.  Success means the
- * squared log-pose error reached tol_f. */
+/* Full solver configuration, mirroring the reference's repr(C) CSolverConfig
+ * (kylc/optik crates/optik-cpp/src/lib.rs:11-20) field-for-field, plus the
+ * deterministic budget knobs that replace wall-clock stopping:
+ *
+ *  - solution_mode: 1 = quality (min ||x - x0|| over all successful
+ *    restarts, lib.rs:398-408), 2 = speed (first success, lib.rs:409-412);
+ *  - max_time: accepted for layout parity, not a stopping criterion
+ *    (budgets are max_restarts x max_iters, deterministic);
+ *  - tol_f: success when the squared weighted log-pose error <= tol_f;
+ *  - tol_df: |f_k+1 - f_k| < tol_df stops the restart; counts as a success
+ *    only when the caller set tol_df >= 0.  When unset (< 0) the stall
+ *    heuristic 1e-3 * tol_f still stops it without success (lib.rs:283-293,
+ *    376-388);
+ *  - tol_dx: max_i |step_i| < tol_dx stops with success when >= 0, else off;
+ *  - linear_weight / angular_weight: per-axis world-frame error weights
+ *    (crates/optik/src/objective.rs:7-38). */
+typedef struct optik_host_solver_config {
+  int solution_mode; /* 1 = quality, 2 = speed */
+  double max_time;
+  int max_restarts;
+  double tol_f;
+  double tol_df;
+  double tol_dx;
+  double linear_weight[3];
+  double angular_weight[3];
+  int max_iters;
+  uint64_t rng_seed;
+} optik_host_solver_config;
+
+/* Reference defaults (config.rs:52-65): speed, tol_f 1e-6, tol_df/tol_dx
+ * unset, unit weights; budget defaults 64 restarts x 64 iterations. */
+optik_host_solver_config optik_host_solver_config_default(void);
+
+/* Random-restart damped Gauss-Newton IK with the full config.  Restart 0
+ * starts at x0; restart i draws deterministically from stream rng_seed + i.
+ * Returns 1 + writes x_out/f_out on success, 0 on failure, and -1 when x0
+ * lies outside the joint limits (the reference panics there, lib.rs:251-254;
+ * an ABI cannot, so the caller maps -1 to its language's error). */
+int optik_host_ik_cfg(const void* chain,
+                      const optik_host_solver_config* config,
+                      const double* target16, const double* x0,
+                      const double* ee_offset, double* x_out, double* f_out);
+
+/* Legacy speed-mode entry (identity weights, tol_df/tol_dx unset); kept for
+ * ABI stability.  Equivalent to optik_host_ik_cfg with defaults, except an
+ * out-of-limits seed returns 0 rather than -1. */
 int optik_host_ik(const void* chain, const double* target16, const double* x0,
                   const double* ee_offset, double tol_f, int max_iters,
                   int max_restarts, uint64_t rng_seed, double* x_out,

@@ -30,6 +30,8 @@
 #include <utility>
 #include <vector>
 
+#include "include/optik_host.h"
+
 namespace {
 
 constexpr double kEps = 1e-6;  // Taylor switch threshold (math.rs:7)
@@ -1157,32 +1159,119 @@ void optik_host_jacobian(const void* chain, const double* q,
 //
 // Damped Gauss-Newton with box projection and Nielsen damping; restart i
 // draws uniformly from the limits with a deterministic per-restart stream
-// (mt19937 seeded rng_seed + i), restart 0 = x0.  Returns 1 + writes the
-// solution/cost on success (f <= tol_f), else 0.
+// (mt19937 seeded rng_seed + i), restart 0 = x0.  Full solver-config
+// semantics mirror the reference (crates/optik-cpp/src/lib.rs:11-20,
+// crates/optik/src/lib.rs:241-415): per-axis world-frame weighting
+// conjugated with the target rotation (objective.rs:7-38), tol_f/tol_df/
+// tol_dx success classification (lib.rs:376-388), Speed = first success,
+// Quality = min seed distance over all successful restarts (lib.rs:398-408).
 
-int optik_host_ik(const void* chain, const double* target /* 16 row-major */,
-                  const double* x0,
-                  const double* ee_offset /* 16 row-major or null */,
-                  double tol_f, int max_iters, int max_restarts,
-                  uint64_t rng_seed, double* x_out, double* f_out) {
-  const auto& c = *static_cast<const Chain*>(chain);
+optik_host_solver_config optik_host_solver_config_default(void) {
+  optik_host_solver_config c;
+  c.solution_mode = 2;  // speed
+  c.max_time = 0.1;     // layout parity only; budgets are deterministic
+  c.max_restarts = 64;
+  c.tol_f = 1e-6;
+  c.tol_df = -1.0;
+  c.tol_dx = -1.0;
+  for (int i = 0; i < 3; ++i) c.linear_weight[i] = 1.0;
+  for (int i = 0; i < 3; ++i) c.angular_weight[i] = 1.0;
+  c.max_iters = 64;
+  c.rng_seed = 42;
+  return c;
+}
+
+static int ik_solve_cfg(const Chain& c, const optik_host_solver_config& cfg,
+                        const double* target, const double* x0,
+                        const EeOffset& off, bool validate_seed,
+                        double* x_out, double* f_out) {
   const int n = c.n;
-  const EeOffset off = EeOffset::from_ptr(ee_offset);
+
+  if (validate_seed) {
+    // Reference panics "seed joint position outside of joint limits"
+    // (lib.rs:251-254); the ABI reports -1 and the binding raises.
+    for (int j = 0; j < n; ++j)
+      if (x0[j] < c.lower[j] || x0[j] > c.upper[j]) return -1;
+  }
 
   Mat3 tr;
   Vec3 tv{target[3], target[7], target[11]};
   for (int i = 0; i < 3; ++i)
     for (int j = 0; j < 3; ++j) tr.m[i][j] = target[i * 4 + j];
 
+  // Per-axis weighting M = R_tgt^T diag(w) R_tgt per 3-block: the residual
+  // lives in the target-local frame, the weights in the world frame
+  // (objective.rs:7-38; identity skip at IDENTITY_EPS, objective.rs:5).
+  bool lin_id = true, ang_id = true;
+  for (int i = 0; i < 3; ++i) {
+    if (std::abs(cfg.linear_weight[i] - 1.0) > 1e-20) lin_id = false;
+    if (std::abs(cfg.angular_weight[i] - 1.0) > 1e-20) ang_id = false;
+  }
+  const bool weighted = !(lin_id && ang_id);
+  Mat3 ml = identity3(), ma = identity3();
+  if (weighted) {
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) {
+        double sl = 0, sa = 0;
+        for (int k = 0; k < 3; ++k) {
+          sl += tr.m[k][i] * cfg.linear_weight[k] * tr.m[k][j];
+          sa += tr.m[k][i] * cfg.angular_weight[k] * tr.m[k][j];
+        }
+        ml.m[i][j] = sl;
+        ma.m[i][j] = sa;
+      }
+  }
+
   std::vector<Frame> frames;
-  std::vector<double> x(n), e(6), jt(6 * n), xt(n);
-  const double tol_df = 1e-3 * tol_f;  // stall heuristic (lib.rs:283-293)
+  std::vector<double> x(n), e(6), jt(6 * n), xt(n), tmp(6 * n);
+  // Stall heuristic: tol_df = 1e-3 * tol_f when unset — stops the restart
+  // but does NOT classify as a success (lib.rs:283-293, 376-388).
+  const bool df_is_success = cfg.tol_df >= 0.0;
+  const bool dx_is_success = cfg.tol_dx >= 0.0;
+  const double tol_df = df_is_success ? cfg.tol_df : 1e-3 * cfg.tol_f;
+  const int max_restarts = cfg.max_restarts > 0 ? cfg.max_restarts : 64;
+  const bool quality = cfg.solution_mode == 1;
+
+  // Weighted residual+Jacobian around residual_jac.
+  auto eval = [&](const double* q, double* e_o, double* jt_o) {
+    residual_jac(c, q, tr, tv, frames, e_o, jt_o, off);
+    if (!weighted) return;
+    double el[3], ea[3];
+    for (int i = 0; i < 3; ++i) {
+      el[i] = ml.m[i][0] * e_o[0] + ml.m[i][1] * e_o[1] + ml.m[i][2] * e_o[2];
+      ea[i] =
+          ma.m[i][0] * e_o[3] + ma.m[i][1] * e_o[4] + ma.m[i][2] * e_o[5];
+    }
+    for (int i = 0; i < 3; ++i) {
+      e_o[i] = el[i];
+      e_o[3 + i] = ea[i];
+    }
+    if (!jt_o) return;
+    for (int p = 0; p < n; ++p) {
+      double cl[3], ca[3];
+      for (int i = 0; i < 3; ++i) {
+        cl[i] = ml.m[i][0] * jt_o[0 * n + p] + ml.m[i][1] * jt_o[1 * n + p] +
+                ml.m[i][2] * jt_o[2 * n + p];
+        ca[i] = ma.m[i][0] * jt_o[3 * n + p] + ma.m[i][1] * jt_o[4 * n + p] +
+                ma.m[i][2] * jt_o[5 * n + p];
+      }
+      for (int i = 0; i < 3; ++i) {
+        jt_o[i * n + p] = cl[i];
+        jt_o[(3 + i) * n + p] = ca[i];
+      }
+    }
+  };
+
+  bool any = false;
+  double best_dist = std::numeric_limits<double>::infinity();
+  std::vector<double> best_x(n);
+  double best_f = 0;
 
   for (int restart = 0; restart < max_restarts; ++restart) {
     if (restart == 0) {
       std::memcpy(x.data(), x0, n * sizeof(double));
     } else {
-      std::mt19937_64 rng(rng_seed + restart);
+      std::mt19937_64 rng(cfg.rng_seed + restart);
       for (int j = 0; j < n; ++j) {
         double lo = c.lower[j], hi = c.upper[j];
         if (!std::isfinite(lo)) lo = -3.14159265358979;
@@ -1192,12 +1281,13 @@ int optik_host_ik(const void* chain, const double* target /* 16 row-major */,
       }
     }
 
-    residual_jac(c, x.data(), tr, tv, frames, e.data(), jt.data(), off);
+    eval(x.data(), e.data(), jt.data());
     double f = 0;
     for (double v : e) f += v * v;
     double lam = 1e-4, nu = 2.0;
+    bool success = f <= cfg.tol_f;
 
-    for (int it = 0; it < max_iters && f > tol_f; ++it) {
+    for (int it = 0; it < cfg.max_iters && !success; ++it) {
       double a[6][6];
       for (int i = 0; i < 6; ++i)
         for (int k = 0; k <= i; ++k) {
@@ -1208,6 +1298,7 @@ int optik_host_ik(const void* chain, const double* target /* 16 row-major */,
       for (int i = 0; i < 6; ++i) a[i][i] += lam;
       double z[6];
       if (!solve6(a, e.data(), z)) { lam *= nu; nu *= 2; continue; }
+      double max_step = 0;
       for (int p = 0; p < n; ++p) {
         double d = 0;
         for (int i = 0; i < 6; ++i) d -= jt[i * n + p] * z[i];
@@ -1215,10 +1306,10 @@ int optik_host_ik(const void* chain, const double* target /* 16 row-major */,
         if (v < c.lower[p]) v = c.lower[p];
         if (v > c.upper[p]) v = c.upper[p];
         xt[p] = v;
+        max_step = std::max(max_step, std::abs(v - x[p]));
       }
       double e_new[6];
-      std::vector<double> jt_new(6 * n);
-      residual_jac(c, xt.data(), tr, tv, frames, e_new, jt_new.data(), off);
+      eval(xt.data(), e_new, tmp.data());
       double f_new = 0;
       for (double v : e_new) f_new += v * v;
 
@@ -1243,9 +1334,13 @@ int optik_host_ik(const void* chain, const double* target /* 16 row-major */,
         }
         x = xt;
         std::memcpy(e.data(), e_new, 6 * sizeof(double));
-        jt = jt_new;
+        std::swap(jt, tmp);
         f = f_new;
-        if (df < tol_df) break;  // stalled
+        // Success classification (lib.rs:376-388): stopval always counts;
+        // the df/dx criteria count only when the caller set them.
+        if (f <= cfg.tol_f) { success = true; break; }
+        if (df < tol_df) { success = df_is_success; break; }
+        if (dx_is_success && max_step < cfg.tol_dx) { success = true; break; }
       } else {
         lam *= nu;
         nu = std::min(nu * 2.0, 64.0);
@@ -1253,13 +1348,61 @@ int optik_host_ik(const void* chain, const double* target /* 16 row-major */,
       }
     }
 
-    if (f <= tol_f) {
+    if (!success) continue;
+    if (!quality) {
+      // Speed: deterministic "first" success — lowest restart index
+      // (the batched paths' replacement for find_any, lib.rs:409-412).
       std::memcpy(x_out, x.data(), n * sizeof(double));
       *f_out = f;
       return 1;
     }
+    // Quality: min Euclidean distance to the caller's seed over ALL
+    // successful restarts (lib.rs:398-408).
+    double d2 = 0;
+    for (int j = 0; j < n; ++j) d2 += (x[j] - x0[j]) * (x[j] - x0[j]);
+    const double dist = std::sqrt(d2);
+    if (dist < best_dist) {
+      best_dist = dist;
+      best_x = x;
+      best_f = f;
+      any = true;
+    }
+  }
+
+  if (quality && any) {
+    std::memcpy(x_out, best_x.data(), n * sizeof(double));
+    *f_out = best_f;
+    return 1;
   }
   return 0;
+}
+
+int optik_host_ik_cfg(const void* chain,
+                      const optik_host_solver_config* config,
+                      const double* target /* 16 row-major */,
+                      const double* x0,
+                      const double* ee_offset /* 16 row-major or null */,
+                      double* x_out, double* f_out) {
+  const auto& c = *static_cast<const Chain*>(chain);
+  return ik_solve_cfg(c, *config, target, x0, EeOffset::from_ptr(ee_offset),
+                      /*validate_seed=*/true, x_out, f_out);
+}
+
+int optik_host_ik(const void* chain, const double* target /* 16 row-major */,
+                  const double* x0,
+                  const double* ee_offset /* 16 row-major or null */,
+                  double tol_f, int max_iters, int max_restarts,
+                  uint64_t rng_seed, double* x_out, double* f_out) {
+  const auto& c = *static_cast<const Chain*>(chain);
+  optik_host_solver_config cfg = optik_host_solver_config_default();
+  cfg.tol_f = tol_f;
+  cfg.max_iters = max_iters;
+  cfg.max_restarts = max_restarts;
+  cfg.rng_seed = rng_seed;
+  const int r = ik_solve_cfg(c, cfg, target, x0,
+                             EeOffset::from_ptr(ee_offset),
+                             /*validate_seed=*/false, x_out, f_out);
+  return r == 1 ? 1 : 0;
 }
 
 // --- differential IK (velocity-limited Cartesian step) ---------------------

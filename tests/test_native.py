@@ -179,6 +179,127 @@ def test_native_ee_offset(pair):
                                atol=1e-5)
 
 
+# --- full solver-config parity (crates/optik-cpp/src/lib.rs:11-20) -----------
+
+
+def test_native_invalid_seed_raises(pair):
+    """Out-of-limits seed: the reference panics (lib.rs:251-254); the
+    native binding raises ValueError with the same message."""
+    robot, host = pair
+    lo, hi = robot.joint_limits()
+    bad = np.clip(np.zeros(7), lo, hi)
+    bad[2] = hi[2] + 1.0
+    target = robot.fk(np.clip(np.zeros(7), lo, hi))
+    with pytest.raises(ValueError, match="joint limits"):
+        host.ik(target, bad)
+
+
+def test_native_quality_mode(pair):
+    """Quality mode: min ||x - x0|| over all successful restarts
+    (lib.rs:398-408).  With the seed at the known solution, quality must
+    return it; and quality's seed distance is <= speed's."""
+    robot, host = pair
+    rng = np.random.default_rng(15)
+    lo, hi = robot.joint_limits()
+    for _ in range(5):
+        q_star = rng.uniform(lo, hi)
+        target = robot.fk(q_star)
+        solq = host.ik(target, q_star, solution_mode="quality",
+                       max_restarts=16)
+        assert solq is not None
+        np.testing.assert_allclose(solq[0], q_star, atol=1e-3)
+
+        x0 = rng.uniform(lo, hi)
+        sol_s = host.ik(target, x0, solution_mode="speed", max_restarts=64)
+        sol_q = host.ik(target, x0, solution_mode="quality", max_restarts=64)
+        assert sol_s is not None and sol_q is not None
+        d_s = np.linalg.norm(sol_s[0] - x0)
+        d_q = np.linalg.norm(sol_q[0] - x0)
+        assert d_q <= d_s + 1e-9
+
+
+def test_native_weighted_ik_matches_python(pair):
+    """Per-axis weights in the native residual (objective.rs:7-38): the
+    native weighted cost at the native solution must equal the JAX path's
+    weighted objective evaluated at the same point, and a zero x-weight
+    must admit solutions the unweighted objective rejects."""
+    import jax.numpy as jnp
+
+    from optik_tpu import SolverConfig
+    from optik_tpu.ops import objective as obj
+    from optik_tpu.ops import kinematics as K
+
+    robot, host = pair
+    rng = np.random.default_rng(16)
+    lo, hi = robot.joint_limits()
+    wl = (0.0, 1.0, 1.0)
+    wa = (0.5, 1.0, 2.0)
+
+    for _ in range(5):
+        target = robot.fk(rng.uniform(lo, hi))
+        x0 = rng.uniform(lo, hi)
+        sol = host.ik(target, x0, tol_f=1e-10, linear_weight=wl,
+                      angular_weight=wa)
+        assert sol is not None
+        x, f = sol
+        # Cross-check the cost against the JAX objective at the same point.
+        tgt_r = jnp.asarray(target[:3, :3])
+        tgt_t = jnp.asarray(target[:3, 3])
+        f_jax = float(obj.objective(robot.params, jnp.asarray(x), tgt_r,
+                                    tgt_t, wl=wl, wa=wa))
+        assert abs(f_jax - f) <= 1e-9 + 1e-4 * abs(f)
+        assert f <= 1e-10
+
+    # A target displaced along world-x is solvable when x-weight is 0 but
+    # not otherwise (the weighted objective ignores world-x error).
+    q_t = rng.uniform(lo, hi)
+    target = robot.fk(q_t)
+    target[0, 3] += 1.5  # far beyond the Panda's ~0.85 m reach in x
+    x0 = np.clip(np.zeros(7), lo, hi)
+    sol_w = host.ik(target, x0, tol_f=1e-10, max_restarts=32,
+                    linear_weight=wl, angular_weight=wa)
+    assert sol_w is not None
+    sol_u = host.ik(target, x0, tol_f=1e-10, max_restarts=32)
+    assert sol_u is None
+
+
+def test_native_tol_dx_success(pair):
+    """tol_dx/tol_df >= 0 make small steps / small cost deltas success
+    criteria (lib.rs:379).  Seeded near the solution so GN converges
+    cleanly and the criteria (not stopval, which is disabled) fire."""
+    robot, host = pair
+    rng = np.random.default_rng(17)
+    lo, hi = robot.joint_limits()
+    q_t = rng.uniform(lo, hi)
+    target = robot.fk(q_t)
+    x0 = np.clip(q_t + 0.05 * rng.standard_normal(7), lo, hi)
+    # stopval disabled (tol_f < 0 is unreachable for a squared cost);
+    # convergence must come from the dx/df criteria.
+    sol = host.ik(target, x0, tol_f=-1.0, tol_dx=1e-8, tol_df=1e-14,
+                  max_restarts=8)
+    assert sol is not None
+    np.testing.assert_allclose(host.fk(sol[0]), target, atol=1e-4)
+
+
+def test_native_speed_quality_cross_path(pair):
+    """Native Speed vs the JAX path on identical problems: both must find
+    solutions meeting the tolerance (not necessarily the same branch)."""
+    from optik_tpu import SolverConfig
+
+    robot, host = pair
+    rng = np.random.default_rng(18)
+    lo, hi = robot.joint_limits()
+    for mode in ("speed", "quality"):
+        target = robot.fk(rng.uniform(lo, hi))
+        x0 = rng.uniform(lo, hi)
+        sol_n = host.ik(target, x0, tol_f=1e-10, solution_mode=mode)
+        sol_j = robot.ik(SolverConfig.create(mode, tol_f=1e-10), target, x0)
+        assert sol_n is not None and sol_j is not None
+        np.testing.assert_allclose(host.fk(sol_n[0]), target, atol=1e-4)
+        np.testing.assert_allclose(robot.fk(np.array(sol_j[0])), target,
+                                   atol=1e-4)
+
+
 # --- native differential IK ---------------------------------------------------
 
 
