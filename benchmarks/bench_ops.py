@@ -39,7 +39,10 @@ def timeit(fn, *args, n=20):
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import pathlib as _pl
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(_pl.Path(__file__).resolve().parent.parent / ".jax_cache"))
 
     from optik_tpu import Robot, SolverConfig
     from optik_tpu.models import asset_path

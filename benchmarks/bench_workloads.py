@@ -42,7 +42,10 @@ def timed(fn):
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import pathlib as _pl
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(_pl.Path(__file__).resolve().parent.parent / ".jax_cache"))
 
     import jax.numpy as jnp
 

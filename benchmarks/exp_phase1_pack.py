@@ -25,7 +25,10 @@ import numpy as np
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import pathlib as _pl
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(_pl.Path(__file__).resolve().parent.parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     import jax.numpy as jnp

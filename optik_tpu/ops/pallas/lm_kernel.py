@@ -121,7 +121,8 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
                x_ref,     # out (A, rows, P_BLK)
                f_ref,     # out (rows, P_BLK)
                succ_ref,  # out (rows, P_BLK) int8
-               idx_ref):  # out (rows, P_BLK) int32 restart index
+               idx_ref,   # out (rows, P_BLK) int32 restart index
+               sit_ref):  # out (rows, P_BLK) int32 iters at first success
         xs0 = [x0_ref[p] for p in range(a)]
         if g == 1:
             # One pose per column: target components stay (1, P) broadcast
@@ -188,6 +189,7 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
             idx_ref[...] = res.restart_index
         else:
             idx_ref[...] = jnp.broadcast_to(lane_col, res.f.shape)
+        sit_ref[...] = jnp.broadcast_to(res.succ_iters, res.f.shape)
 
     @functools.partial(jax.jit, static_argnums=())
     def solve(tgt_r, tgt_t, x0):
@@ -243,8 +245,9 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
             jax.ShapeDtypeStruct((rows, bg), dtype),
             jax.ShapeDtypeStruct((rows, bg), jnp.int8),
             jax.ShapeDtypeStruct((rows, bg), jnp.int32),
+            jax.ShapeDtypeStruct((rows, bg), jnp.int32),
         )
-        xs, fs, succ, ridx = pl.pallas_call(
+        xs, fs, succ, ridx, sit = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -266,6 +269,8 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, p_blk), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, p_blk), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
             ),
             out_shape=out_shapes,
             interpret=interpret,
@@ -280,15 +285,18 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
         fs = unpack(fs)
         succ_b = unpack(succ).astype(bool)
         ridx_b = unpack(ridx)
+        sit_b = unpack(sit)
 
         # Winner selection per pose (same reductions as the XLA path).
         x0_arr = jnp.asarray(x0, dtype)
         if mode == SolutionMode.SPEED:
-            out = jax.vmap(lambda xsi, fsi, si, x0i, ri: ik_mod._select(
-                mode, xsi, fsi, si, x0i, ri))(xs, fs, succ_b, x0_arr, ridx_b)
+            out = jax.vmap(lambda xsi, fsi, si, x0i, ri, iti: ik_mod._select(
+                mode, xsi, fsi, si, x0i, ri, iti))(
+                xs, fs, succ_b, x0_arr, ridx_b, sit_b)
         else:
-            out = jax.vmap(lambda xsi, fsi, si, x0i: ik_mod._select(
-                mode, xsi, fsi, si, x0i))(xs, fs, succ_b, x0_arr)
+            out = jax.vmap(lambda xsi, fsi, si, x0i, iti: ik_mod._select(
+                mode, xsi, fsi, si, x0i, None, iti))(
+                xs, fs, succ_b, x0_arr, sit_b)
         return out
 
     return solve

@@ -363,8 +363,7 @@ class Robot:
                 res = None
             if res is not None:
                 if b_pad != b:
-                    res = ik_mod.IKResult(found=res.found[:b],
-                                          x=res.x[:b], cost=res.cost[:b])
+                    res = jax.tree.map(lambda v: v[:b], res)
                 return res
 
         fn = self._solver(config)

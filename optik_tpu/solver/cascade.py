@@ -68,7 +68,11 @@ def _merge(res1, idx, res2):
     found = res1.found.at[idx].set(res1.found[idx] | res2.found)
     x = res1.x.at[idx].set(jnp.where(take2[:, None], res2.x, res1.x[idx]))
     cost = res1.cost.at[idx].set(jnp.where(take2, res2.cost, res1.cost[idx]))
-    return ik_mod.IKResult(found=found, x=x, cost=cost)
+    iters = None
+    if res1.iters is not None and res2.iters is not None:
+        iters = res1.iters.at[idx].set(
+            jnp.where(take2, res2.iters, res1.iters[idx]))
+    return ik_mod.IKResult(found=found, x=x, cost=cost, iters=iters)
 
 
 def _pack(seeds):

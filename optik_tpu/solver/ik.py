@@ -42,6 +42,9 @@ class IKResult(NamedTuple):
     found: jnp.ndarray  # (...,) bool
     x: jnp.ndarray      # (..., A)
     cost: jnp.ndarray   # (...,)
+    # Winning lane's LM iterations-to-converge (0 when not found / not
+    # tracked) — observability only, never part of the solve contract.
+    iters: Optional[jnp.ndarray] = None
 
 
 def options_from_config(cfg: SolverConfig) -> lm.LMOptions:
@@ -87,12 +90,14 @@ def restart_seeds(params: K.ChainParams, x0: jnp.ndarray, key: jnp.ndarray,
     return jnp.concatenate([x0[None, :], rand], axis=0)
 
 
-def _select(mode: SolutionMode, xs, fs, success, x0, restart_idx=None):
+def _select(mode: SolutionMode, xs, fs, success, x0, restart_idx=None,
+            succ_iters=None):
     """Pick the winning lane: (S, A), (S,), (S,), (A,) -> IKResult scalars.
 
     ``restart_idx`` (continuous-reseed path) carries the restart index each
     lane's final attempt used; Speed mode minimizes it so "first success"
-    stays invariant to the lane layout.
+    stays invariant to the lane layout.  ``succ_iters`` (optional) is the
+    per-lane iterations-to-converge surfaced as IKResult.iters.
     """
     s = xs.shape[0]
     if mode == SolutionMode.SPEED:
@@ -107,7 +112,8 @@ def _select(mode: SolutionMode, xs, fs, success, x0, restart_idx=None):
         dist = jnp.linalg.norm(xs - x0[None, :], axis=-1)
         dist = jnp.where(success, dist, jnp.inf)
         idx = jnp.argmin(dist)
-    return IKResult(found=jnp.any(success), x=xs[idx], cost=fs[idx])
+    return IKResult(found=jnp.any(success), x=xs[idx], cost=fs[idx],
+                    iters=None if succ_iters is None else succ_iters[idx])
 
 
 def build_batch_solver(spec, cfg: SolverConfig, dtype, mesh=None):
@@ -191,13 +197,14 @@ def build_batch_solver(spec, cfg: SolverConfig, dtype, mesh=None):
 
         xs = constrain(res.x, lane_sharding if mesh is not None else None)
         if res.restart_index is not None:
-            out = jax.vmap(lambda xsi, fsi, si, x0i, ri: _select(
-                cfg.solution_mode, xsi, fsi, si, x0i, ri))(
-                xs, res.f, res.success, x0, res.restart_index)
+            out = jax.vmap(lambda xsi, fsi, si, x0i, ri, iti: _select(
+                cfg.solution_mode, xsi, fsi, si, x0i, ri, iti))(
+                xs, res.f, res.success, x0, res.restart_index,
+                res.succ_iters)
         else:
-            out = jax.vmap(lambda xsi, fsi, si, x0i: _select(
-                cfg.solution_mode, xsi, fsi, si, x0i))(
-                xs, res.f, res.success, x0)
+            out = jax.vmap(lambda xsi, fsi, si, x0i, iti: _select(
+                cfg.solution_mode, xsi, fsi, si, x0i, None, iti))(
+                xs, res.f, res.success, x0, res.succ_iters)
         if mesh is not None:
             out = jax.tree.map(lambda v: constrain(v, pose_sharding), out)
         return out

@@ -60,6 +60,8 @@ class LMResult(NamedTuple):
     # Restart index each lane ended on (continuous-reseed path only);
     # None when each lane ran exactly one restart.
     restart_index: Optional[jnp.ndarray] = None
+    # Per-lane attempt iterations at first success, 0 if never (SoA path).
+    succ_iters: Optional[jnp.ndarray] = None
 
 
 def _cost_only(params, q, tgt_r, tgt_t, ee_r, ee_t, wl, wa):

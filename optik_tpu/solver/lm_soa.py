@@ -56,6 +56,10 @@ class LoopOut(NamedTuple):
     success: jnp.ndarray
     iters: jnp.ndarray   # () global iterations executed
     restart_index: Optional[jnp.ndarray]  # None without reseeding
+    # Per-lane attempt-iteration count at the lane's FIRST success (0 when
+    # the lane never succeeded) — the iterations-to-converge observability
+    # signal surfaced through IKResult.iters.
+    succ_iters: Optional[jnp.ndarray] = None
 
 
 def lm_loop(consts, lower, upper, opts: LMOptions,
@@ -134,14 +138,15 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
             idx0,                              # current restart index
             zero_i,                            # per-attempt iteration
             one_i,                             # pending: adopt x this iter
-            best0)
+            best0,
+            zero_i)                            # iters at first success
 
     def cond(c):
         return (c[8] < max_total_iters) & ~jnp.all(c[6] > 0)
 
     def body(c):
         (xs_t, e_t, jt_flat, f, lam, nu, stopped_i, success_i, it,
-         cur_idx, it_lane, pending_i, best) = c
+         cur_idx, it_lane, pending_i, best, succ_it) = c
         stopped = stopped_i > 0
         success = success_i > 0
         pending = pending_i > 0
@@ -229,6 +234,7 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
             succ_now = succ_now | newly_df
         if opts.dx_is_success:
             succ_now = succ_now | newly_dx
+        first_succ = run & succ_now & ~success
         success = success | (run & succ_now)
         # Integer selects use full-size operands on both sides: Mosaic's
         # relayout pass rejects replicated-scalar vs tiled-vector i32
@@ -236,6 +242,7 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
         # destination but not in source").
         it_next = jnp.where(pending & run, jnp.ones_like(it_lane),
                             it_lane + 1)
+        succ_it = jnp.where(first_succ, it_next, succ_it)
         attempt_over = (newly_f | newly_df | newly_dx | newly_stuck
                         | (it_next > opts.max_iters))
         # A non-finite adopted point is a dead attempt too.
@@ -316,15 +323,17 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
         return (tuple(x_next), tuple(e_next), jt_next, f_next,
                 lam_next, nu_next, stopped.astype(jnp.int32),
                 success.astype(jnp.int32), it + 1,
-                cur_idx_next, it_next, pending_next.astype(jnp.int32), best)
+                cur_idx_next, it_next, pending_next.astype(jnp.int32), best,
+                succ_it)
 
     out = jax.lax.while_loop(cond, body, init)
     if track_best:
         bx, bd, bf, bi = out[12]
         return LoopOut(xs=bx, f=bf, success=jnp.isfinite(bd), iters=out[8],
-                       restart_index=bi)
+                       restart_index=bi, succ_iters=out[13])
     return LoopOut(xs=out[0], f=out[3], success=out[7] > 0, iters=out[8],
-                   restart_index=out[9] if reseed else None)
+                   restart_index=out[9] if reseed else None,
+                   succ_iters=out[13])
 
 
 def solve_soa(consts, lower, upper, opts: LMOptions,
@@ -374,4 +383,5 @@ def solve_soa(consts, lower, upper, opts: LMOptions,
 
     return LMResult(x=jnp.stack(list(out.xs), axis=-1), f=out.f,
                     success=out.success, iters=out.iters,
-                    restart_index=out.restart_index)
+                    restart_index=out.restart_index,
+                    succ_iters=out.succ_iters)

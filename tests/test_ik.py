@@ -198,3 +198,32 @@ def test_tol_dx_success(robot):
     sol = robot.ik(cfg, target, np.zeros(6))
     # With stopval disabled, convergence must come from dx/df criteria.
     assert sol is not None
+
+
+def test_iters_observability(robot):
+    """IKResult.iters: winning lane's LM iterations at first success is
+    positive for found poses, 0 for unreachable ones, and piped through
+    both the batch solver and the kernel (interpret) path."""
+    rng = np.random.default_rng(21)
+    B = 8
+    q = rng.random((B, robot.num_positions()))
+    tr, tt = robot.fk_batch(q)
+    lo, hi = robot.joint_limits()
+    lo = np.where(np.isfinite(lo), lo, -np.pi)
+    hi = np.where(np.isfinite(hi), hi, np.pi)
+    x0 = rng.uniform(lo, hi, size=(B, robot.num_positions()))
+
+    cfg = SolverConfig(max_restarts=16, max_iters=32)
+    res = robot.ik_batch(cfg, tr, tt, x0)
+    assert res.iters is not None
+    found = np.asarray(res.found)
+    iters = np.asarray(res.iters)
+    assert np.all(iters[found] >= 1)
+    assert np.all(iters[found] <= cfg.max_iters + 1)
+
+    # Unreachable pose: no success, iters stays 0.
+    far_t = np.asarray(tt).copy()
+    far_t[:] = [5.0, 5.0, 5.0]
+    res_far = robot.ik_batch(cfg, tr, far_t, x0)
+    far_found = np.asarray(res_far.found)
+    assert np.all(np.asarray(res_far.iters)[~far_found] == 0)

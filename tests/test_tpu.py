@@ -1,0 +1,195 @@
+"""On-device Mosaic kernel tests: the *compiled* Pallas solver on real TPU.
+
+Round-1 gap: every Pallas test ran under ``interpret=True`` on CPU, so the
+shipping Mosaic compilation — approx atan2, int32 carries, packed tile
+layouts — was only validated indirectly through bench.py's success rate.
+These tests run the real compiled kernel and pin its behavioral contract
+against the XLA path *on the same device*:
+
+  * found mask is a superset of the XLA path's (same budget, same seeds —
+    both must solve what the other solves; the superset direction guards
+    against on-device-only miscompiles silently losing solutions);
+  * every reported cost <= tol_f;
+  * FK(solution) actually reaches the target;
+  * repeat solves are bitwise identical;
+  * every pose-packing factor S in {1, 2, 4, 8}.
+
+Run with ``OPTIK_TPU_TESTS=1 python -m pytest tests/test_tpu.py`` on a TPU
+host (the default CPU test configuration auto-skips these; see conftest).
+Results from the round's bench environment are recorded in PARITY.md.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+if os.environ.get("OPTIK_TPU_TESTS") == "1":
+    _PLATFORM = jax.devices()[0].platform
+    if _PLATFORM not in ("tpu", "axon"):
+        pytestmark = [pytest.mark.tpu,
+                      pytest.mark.skip(reason="no TPU device present")]
+
+from optik_tpu import Robot, SolverConfig  # noqa: E402
+from optik_tpu.models import asset_path  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def robot():
+    return Robot.from_urdf_file(asset_path("panda.urdf"), "panda_link0",
+                                "panda_hand_tcp", dtype=jnp.float32)
+
+
+def make_problem(robot, b, seed=0):
+    rng = np.random.default_rng(seed)
+    lo, hi = robot.joint_limits()
+    qt = rng.uniform(lo, hi, size=(b, 7))
+    tr, tt = robot.fk_batch(qt)
+    x0 = rng.uniform(lo, hi, size=(b, 7)).astype(np.float32)
+    return (jnp.asarray(tr, jnp.float32), jnp.asarray(tt, jnp.float32),
+            jnp.asarray(x0))
+
+
+def _fetch(res):
+    # Relay-safe sync: pull scalars/arrays via numpy conversion.
+    return (np.asarray(res.found), np.asarray(res.x), np.asarray(res.cost))
+
+
+@pytest.mark.parametrize("seed_batch", [1, 2, 4, 8])
+def test_compiled_kernel_contract(robot, seed_batch):
+    """The compiled (non-interpret) kernel at every packing factor."""
+    from optik_tpu.ops import soa
+    from optik_tpu.ops.pallas import lm_kernel
+    from optik_tpu.solver import ik as ik_mod
+
+    cfg = SolverConfig.create("speed", max_restarts=16,
+                              seed_batch=seed_batch, max_iters=24)
+    g = 8 // seed_batch
+    p_blk = 128
+    B = p_blk * g
+    tr, tt, x0 = make_problem(robot, B, seed=seed_batch)
+
+    fn = lm_kernel.build_kernel_solver(robot.spec, cfg, p_blk=p_blk)
+    got = fn(tr, tt, x0)
+    found, xs, cost = _fetch(got)
+
+    # XLA reference on the same device, traced under the same atan2
+    # approximation so the budgets explore identical iterate paths.
+    with soa.approx_atan2():
+        ref_fn = ik_mod.build_batch_solver(robot.spec, cfg, jnp.float32)
+        ref = ref_fn(tr, tt, x0)
+    ref_found = np.asarray(ref.found)
+
+    # Found superset + near-equality (tiny numeric divergence can flip a
+    # borderline pose either way; it must not LOSE a meaningful fraction).
+    lost = int(np.sum(ref_found & ~found))
+    assert lost <= max(1, int(0.01 * B)), (
+        f"kernel lost {lost}/{int(ref_found.sum())} XLA successes")
+    assert found.sum() >= ref_found.sum() - lost
+
+    assert np.all(cost[found] <= cfg.tol_f * (1 + 1e-5))
+
+    xr, xt = robot.fk_batch(xs[found])
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(tr)[found],
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(tt)[found],
+                               atol=2e-3)
+
+    # Bitwise repeatability on device.
+    got2 = fn(tr, tt, x0)
+    found2, xs2, cost2 = _fetch(got2)
+    np.testing.assert_array_equal(found, found2)
+    np.testing.assert_array_equal(xs, xs2)
+    np.testing.assert_array_equal(cost, cost2)
+
+
+def test_compiled_kernel_weighted(robot):
+    """Weighted configs on the compiled kernel (round-1 bug regression):
+    the on-device weighted solve must differ from the unweighted one and
+    meet the weighted tolerance."""
+    from optik_tpu.ops.pallas import lm_kernel
+
+    B = 128
+    tr, tt, x0 = make_problem(robot, B, seed=99)
+    base = SolverConfig.create("speed", max_restarts=16, seed_batch=8,
+                               max_iters=24)
+    wcfg = base.replace(linear_weight=(0.0, 1.0, 1.0),
+                        angular_weight=(0.5, 1.0, 2.0))
+
+    fn_u = lm_kernel.build_kernel_solver(robot.spec, base, p_blk=128)
+    fn_w = lm_kernel.build_kernel_solver(robot.spec, wcfg, p_blk=128)
+    res_u = fn_u(tr, tt, x0)
+    res_w = fn_w(tr, tt, x0)
+    fu, xu, cu = _fetch(res_u)
+    fw, xw, cw = _fetch(res_w)
+
+    assert np.all(cw[fw] <= wcfg.tol_f * (1 + 1e-5))
+    # Zero x-weight changes the objective: solutions must differ.
+    assert not np.allclose(xw, xu, atol=1e-3)
+
+
+def test_compiled_kernel_ee_offset(robot):
+    """ee_offset folded into the compiled kernel's tip reaches the offset
+    target through FK on device."""
+    from optik_tpu.ops.pallas import lm_kernel
+
+    ee = np.eye(4)
+    ee[:3, :3] = np.array([[0.0, -1.0, 0.0],
+                           [1.0, 0.0, 0.0],
+                           [0.0, 0.0, 1.0]])
+    ee[:3, 3] = [0.03, -0.01, 0.12]
+
+    B = 128
+    rng = np.random.default_rng(7)
+    lo, hi = robot.joint_limits()
+    qt = rng.uniform(lo, hi, size=(B, 7))
+    tr, tt = robot.fk_batch(qt, ee_offset=ee)
+    tr = jnp.asarray(tr, jnp.float32)
+    tt = jnp.asarray(tt, jnp.float32)
+    x0 = jnp.asarray(rng.uniform(lo, hi, size=(B, 7)).astype(np.float32))
+
+    cfg = SolverConfig.create("speed", max_restarts=16, seed_batch=8,
+                              max_iters=24)
+    fn = lm_kernel.build_kernel_solver(robot.spec, cfg, p_blk=128,
+                                       ee_offset=(ee[:3, :3], ee[:3, 3]))
+    res = fn(tr, tt, x0)
+    found, xs, cost = _fetch(res)
+    assert found.sum() >= 0.9 * B
+    xr, xt = robot.fk_batch(xs[found], ee_offset=ee)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(tr)[found],
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(tt)[found],
+                               atol=2e-3)
+
+
+def test_compiled_cascade(robot):
+    """The production cascade (bench.py's solver) on device: deterministic,
+    all reported costs within tolerance, FK reaches targets."""
+    from optik_tpu.solver import cascade
+
+    cfg = SolverConfig.create("speed", max_restarts=64, seed_batch=8,
+                              max_iters=32)
+    B = 1024
+    tr, tt, x0 = make_problem(robot, B, seed=5)
+    fn = cascade.build_cascade_solver(robot.spec, cfg, p_blk=128,
+                                      phase1_rounds=1, tail_div=8,
+                                      p_blk2=128)
+    res = fn(tr, tt, x0)
+    found, xs, cost = _fetch(res)
+    res2 = fn(tr, tt, x0)
+    found2, xs2, _ = _fetch(res2)
+    np.testing.assert_array_equal(found, found2)
+    np.testing.assert_array_equal(xs, xs2)
+
+    assert found.sum() >= 0.99 * B
+    assert np.all(cost[found] <= cfg.tol_f * (1 + 1e-5))
+    xr, xt = robot.fk_batch(xs[found])
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(tr)[found],
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(tt)[found],
+                               atol=2e-3)
