@@ -78,5 +78,19 @@ def ik_sharded(robot, cfg: SolverConfig, tgt_r, tgt_t, x0,
         fn = ik_mod.build_batch_solver(robot.spec, cfg, robot.dtype,
                                        mesh=mesh)
         _solver_cache[key] = fn
-    return fn(jnp.asarray(tgt_r, robot.dtype), jnp.asarray(tgt_t, robot.dtype),
-              jnp.asarray(x0, robot.dtype))
+
+    multiproc = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
+
+    def to_global(x):
+        """Host data -> device array; on a multi-process mesh, assemble a
+        global jax.Array from the (process-replicated) host copy so each
+        process only materializes its addressable pose shards."""
+        x = np.asarray(x, robot.dtype)
+        if not multiproc:
+            return jnp.asarray(x)
+        sharding = NamedSharding(mesh, P("data"))
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return fn(to_global(tgt_r), to_global(tgt_t), to_global(x0))

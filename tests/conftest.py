@@ -46,6 +46,8 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: runs the compiled Mosaic kernel on real TPU "
         "hardware (needs OPTIK_TPU_TESTS=1)")
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running tests")
 
 
 def pytest_collection_modifyitems(config, items):
