@@ -45,6 +45,10 @@ class IKResult(NamedTuple):
     # Winning lane's LM iterations-to-converge (0 when not found / not
     # tracked) — observability only, never part of the solve contract.
     iters: Optional[jnp.ndarray] = None
+    # Total LM lane-iterations this solve executed (scalar; sums every lane
+    # of every block/phase) — the exact work unit for roofline/utilization
+    # accounting (utils/roofline.py).  None when not tracked.
+    lane_iters: Optional[jnp.ndarray] = None
 
 
 def options_from_config(cfg: SolverConfig) -> lm.LMOptions:
