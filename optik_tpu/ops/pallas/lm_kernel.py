@@ -122,7 +122,8 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
                f_ref,     # out (rows, P_BLK)
                succ_ref,  # out (rows, P_BLK) int8
                idx_ref,   # out (rows, P_BLK) int32 restart index
-               sit_ref):  # out (rows, P_BLK) int32 iters at first success
+               sit_ref,   # out (rows, P_BLK) int32 iters at first success
+               bit_ref):  # out (rows, P_BLK) int32 block loop iterations
         xs0 = [x0_ref[p] for p in range(a)]
         if g == 1:
             # One pose per column: target components stay (1, P) broadcast
@@ -190,6 +191,12 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
         else:
             idx_ref[...] = jnp.broadcast_to(lane_col, res.f.shape)
         sit_ref[...] = jnp.broadcast_to(res.succ_iters, res.f.shape)
+        # Block's executed loop-iteration count, written to every element.
+        # The scalar rides on an iota-derived (rows, 1) tile: Mosaic rejects
+        # replicated-constant -> tiled relayouts of i32 vectors (see
+        # solver/lm_soa.py zero_i), and scalar+tiled adds are safe.
+        bit_ref[...] = jnp.broadcast_to(lane_col * 0 + res.iters,
+                                        res.f.shape)
 
     @functools.partial(jax.jit, static_argnums=())
     def solve(tgt_r, tgt_t, x0):
@@ -246,8 +253,9 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
             jax.ShapeDtypeStruct((rows, bg), jnp.int8),
             jax.ShapeDtypeStruct((rows, bg), jnp.int32),
             jax.ShapeDtypeStruct((rows, bg), jnp.int32),
+            jax.ShapeDtypeStruct((rows, bg), jnp.int32),
         )
-        xs, fs, succ, ridx, sit = pl.pallas_call(
+        xs, fs, succ, ridx, sit, bit = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -262,6 +270,8 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
             ],
             out_specs=(
                 pl.BlockSpec((a, rows, p_blk), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, p_blk), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, p_blk), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -297,6 +307,9 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
             out = jax.vmap(lambda xsi, fsi, si, x0i, iti: ik_mod._select(
                 mode, xsi, fsi, si, x0i, None, iti))(
                 xs, fs, succ_b, x0_arr, sit_b)
-        return out
+        # Work accounting: every lane of a block runs its block's full loop
+        # count, so total lane-iterations = sum over blocks x (rows*p_blk).
+        lane_iters = jnp.sum(bit[0, ::p_blk]) * (rows * p_blk)
+        return out._replace(lane_iters=lane_iters)
 
     return solve

@@ -363,7 +363,12 @@ class Robot:
                 res = None
             if res is not None:
                 if b_pad != b:
-                    res = jax.tree.map(lambda v: v[:b], res)
+                    # Per-pose fields slice off the padding; the scalar
+                    # lane_iters work counter keeps the padded total.
+                    res = res._replace(
+                        found=res.found[:b], x=res.x[:b],
+                        cost=res.cost[:b],
+                        iters=None if res.iters is None else res.iters[:b])
                 return res
 
         fn = self._solver(config)

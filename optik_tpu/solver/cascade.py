@@ -72,7 +72,11 @@ def _merge(res1, idx, res2):
     if res1.iters is not None and res2.iters is not None:
         iters = res1.iters.at[idx].set(
             jnp.where(take2, res2.iters, res1.iters[idx]))
-    return ik_mod.IKResult(found=found, x=x, cost=cost, iters=iters)
+    lane_iters = None
+    if res1.lane_iters is not None and res2.lane_iters is not None:
+        lane_iters = res1.lane_iters + res2.lane_iters
+    return ik_mod.IKResult(found=found, x=x, cost=cost, iters=iters,
+                           lane_iters=lane_iters)
 
 
 def _pack(seeds):

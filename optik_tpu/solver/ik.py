@@ -209,8 +209,16 @@ def build_batch_solver(spec, cfg: SolverConfig, dtype, mesh=None):
             out = jax.vmap(lambda xsi, fsi, si, x0i, iti: _select(
                 cfg.solution_mode, xsi, fsi, si, x0i, None, iti))(
                 xs, res.f, res.success, x0, res.succ_iters)
+        # Work accounting: one lockstep loop over all b*s lanes ran
+        # res.iters global iterations.
+        out = out._replace(lane_iters=res.iters * (b * s))
         if mesh is not None:
-            out = jax.tree.map(lambda v: constrain(v, pose_sharding), out)
+            out = out._replace(
+                found=constrain(out.found, pose_sharding),
+                x=constrain(out.x, pose_sharding),
+                cost=constrain(out.cost, pose_sharding),
+                iters=None if out.iters is None else
+                constrain(out.iters, pose_sharding))
         return out
 
     return solve_batch

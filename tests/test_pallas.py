@@ -298,3 +298,40 @@ def test_cascade_multiphase(robot):
     np.testing.assert_array_equal(np.asarray(got.found),
                                   np.asarray(got2.found))
     np.testing.assert_array_equal(np.asarray(got.x), np.asarray(got2.x))
+
+
+def test_lane_iters_work_accounting(robot):
+    """IKResult.lane_iters: total executed lane-iterations, the work
+    numerator for the bench's roofline/MFU accounting.
+
+    Kernel: sum over blocks of (block loop count x lanes per block).
+    XLA path: global loop count x total lanes.  Cascade: phase sum.
+    """
+    from optik_tpu.ops.pallas import lm_kernel
+    from optik_tpu.solver import cascade
+
+    cfg = SolverConfig.create("speed", max_restarts=24, seed_batch=8,
+                              max_iters=32)
+    B = 16
+    tr, tt, x0 = make_problem(robot, B, seed=5)
+
+    ref = robot.ik_batch(cfg, tr, tt, x0)
+    assert ref.lane_iters is not None
+    # One lockstep loop over B*S lanes; budget caps the loop length.
+    max_total = (cfg.max_iters + 1) * 3  # 3 reseed rounds of 8
+    assert 0 < int(ref.lane_iters) <= max_total * B * cfg.seed_batch
+
+    fn = lm_kernel.build_kernel_solver(robot.spec, cfg, p_blk=8,
+                                       interpret=True)
+    got = fn(tr, tt, x0)
+    assert got.lane_iters is not None
+    # Two pose blocks of 8x8 lanes, each running <= the full budget.
+    assert 0 < int(got.lane_iters) <= max_total * B * cfg.seed_batch
+    # Blocks stop independently, so the kernel never does MORE work than
+    # the single lockstep XLA loop (which runs until the slowest pose).
+    assert int(got.lane_iters) <= int(ref.lane_iters)
+
+    csc = cascade.build_cascade_solver(robot.spec, cfg, p_blk=8, tail_div=2,
+                                       interpret=True)
+    cres = csc(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+    assert cres.lane_iters is not None and int(cres.lane_iters) > 0
