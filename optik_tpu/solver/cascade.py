@@ -36,6 +36,16 @@ Semantics vs. the single-shot schedule (kernel with the full budget):
 
 The reference has no analog (its work-stealing restarts never idle,
 lib.rs:298-301); this is scheduling for a lockstep machine.
+
+Why there is no Quality-mode cascade: Quality semantics select the minimum
+seed-distance over ALL successful restarts (lib.rs:398-408 — the reference
+never sets its early-exit flag in Quality mode either), so every pose must
+consume its full restart budget and per-pose work is *uniform by
+construction* — there are no stragglers for a screen/replay split to
+bound.  The single-shot kernel with continuous reseeding (a finished
+attempt immediately adopts its next seed, solver/lm_soa.py) is already the
+zero-idle Quality schedule; it is benchmarked as BASELINE config 2
+(benchmarks/bench_workloads.py).
 """
 
 from __future__ import annotations
