@@ -335,3 +335,36 @@ def test_lane_iters_work_accounting(robot):
                                        interpret=True)
     cres = csc(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
     assert cres.lane_iters is not None and int(cres.lane_iters) > 0
+
+
+@pytest.mark.parametrize("mode,restarts,seed_batch", [
+    ("speed", 16, 16),      # tall layout: rows = S > 8, one pose per column
+    ("quality", 48, 16),    # tall + reseed + full-budget exploration
+    ("speed", 64, 64),      # the p_blk=128 route (BASELINE config 2 shape)
+])
+def test_tall_seed_layouts_match_xla(robot, mode, restarts, seed_batch):
+    """Seed counts that do not divide the 8-row f32 tile fall back to a
+    padded (S, P) layout (lm_kernel rows = S); pin it against the XLA path
+    — this is the layout Quality-mode high-seed configs (BASELINE config 2,
+    256 seeds) run through."""
+    from optik_tpu.ops.pallas import lm_kernel
+
+    cfg = SolverConfig.create(mode, max_restarts=restarts,
+                              seed_batch=seed_batch, max_iters=24)
+    B = 8
+    tr, tt, x0 = make_problem(robot, B, seed=6)
+
+    ref = robot.ik_batch(cfg, tr, tt, x0)
+    fn = lm_kernel.build_kernel_solver(robot.spec, cfg, p_blk=8,
+                                       interpret=True)
+    got = fn(tr, tt, x0)
+
+    np.testing.assert_array_equal(np.asarray(got.found),
+                                  np.asarray(ref.found))
+    found = np.asarray(ref.found)
+    assert np.all(np.asarray(got.cost)[found] <= cfg.tol_f * (1 + 1e-5))
+    xr, xt = robot.fk_batch(np.asarray(got.x)[found])
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(tr)[found],
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(tt)[found],
+                               atol=2e-3)
