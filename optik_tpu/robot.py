@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import SolverConfig
+from .config import SolutionMode, SolverConfig
 from .models.chain import ChainSpec
 from .ops import kinematics as K
 from .solver import ik as ik_mod
@@ -133,6 +133,53 @@ class Robot:
                 self._kernel_fallback(exc, "build")
                 return None
             entry = (fn, p_blk)
+            self._solvers[key] = entry
+        return entry
+
+    def _cascade_solver(self, config: SolverConfig, ee_offset=None):
+        """(solver, block_unit) on the cascade path, or None.
+
+        Speed-mode batches route through the two-phase screen/replay
+        scheduler (solver/cascade.py) — the single-shot kernel lets one
+        straggling pose hold its whole block for the full restart budget,
+        which costs ~8x throughput at realistic failure rates (measured:
+        59k vs 510k solves/s on the motion-planning workload).  Only
+        applies when the restart budget exceeds the lane count (otherwise
+        there is no replay schedule to split).
+        """
+        if getattr(self, "_kernel_broken", False):
+            return None
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            return None
+        if platform not in ("tpu", "axon"):
+            return None
+        if config.solution_mode != SolutionMode.SPEED:
+            return None  # Quality work is uniform; cascade has no referent
+        s = min(config.seed_batch, config.total_restarts)
+        if not (1 < s <= 16) or config.total_restarts <= 2 * s:
+            return None
+        p_blk = 512
+        ee_key = None
+        if ee_offset is not None:
+            ee_key = (np.asarray(ee_offset[0], np.float64).tobytes()
+                      + np.asarray(ee_offset[1], np.float64).tobytes())
+        key = ("cascade", config, ee_key)
+        entry = self._solvers.get(key)
+        if entry is None:
+            try:
+                from .solver import cascade
+
+                fn = cascade.build_cascade_solver(
+                    self.spec, config, dtype=self.dtype, p_blk=p_blk,
+                    phase1_rounds=1, tail_div=8, p_blk2=256,
+                    ee_offset=ee_offset)
+            except (RuntimeError, NotImplementedError, ValueError) as exc:
+                self._kernel_fallback(exc, "cascade build")
+                return None
+            pack = 8 // s if 8 % s == 0 else 1
+            entry = (fn, p_blk * pack)
             self._solvers[key] = entry
         return entry
 
@@ -333,9 +380,17 @@ class Robot:
         # XLA path); poses pad up to the kernel block size and the padding
         # is dropped from the result.  Per-axis weights and a constant
         # ee_offset both stay on the kernel path (the offset folds into the
-        # chain tip at solver-build time).
-        kentry = self._kernel_solver(
-            config, None if ee_offset is None else (ee_r, ee_t))
+        # chain tip at solver-build time).  Large Speed-mode batches take
+        # the cascade schedule on top of the kernel (~8x again over the
+        # single-shot kernel; see _cascade_solver) — below ~2 blocks of
+        # poses the screen/replay split just pads, so small batches stay
+        # single-shot.
+        ee_pair = None if ee_offset is None else (ee_r, ee_t)
+        kentry = None
+        if tgt_r.shape[0] >= 1024:
+            kentry = self._cascade_solver(config, ee_pair)
+        if kentry is None:
+            kentry = self._kernel_solver(config, ee_pair)
         if kentry is not None:
             kfn, blk = kentry
             b = tgt_r.shape[0]

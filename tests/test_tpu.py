@@ -193,3 +193,32 @@ def test_compiled_cascade(robot):
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(xt), np.asarray(tt)[found],
                                atol=2e-3)
+
+
+def test_ik_batch_routes_cascade(robot):
+    """Large Speed-mode batches through the PUBLIC ik_batch entry take the
+    cascade route (round-2: previously only bench.py built the cascade, so
+    users got the ~8x-slower single-shot kernel)."""
+    cfg = SolverConfig.create("speed", max_restarts=64, seed_batch=8,
+                              max_iters=32)
+    B = 1100  # >= 1024 and NOT a block multiple: exercises padding too
+    tr, tt, x0 = make_problem(robot, B, seed=7)
+
+    entry = robot._cascade_solver(cfg, None)
+    assert entry is not None, "cascade route unavailable on this device"
+
+    res = robot.ik_batch(cfg, tr, tt, x0)
+    found, xs, cost = _fetch(res)
+    assert found.shape == (B,)
+    assert found.sum() >= 0.99 * B
+    assert np.all(cost[found] <= cfg.tol_f * (1 + 1e-5))
+    xr, xt = robot.fk_batch(xs[found])
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(tr)[found],
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(tt)[found],
+                               atol=2e-3)
+    # Determinism through the public entry.
+    res2 = robot.ik_batch(cfg, tr, tt, x0)
+    found2, xs2, _ = _fetch(res2)
+    np.testing.assert_array_equal(found, found2)
+    np.testing.assert_array_equal(xs, xs2)
