@@ -94,3 +94,62 @@ def ik_sharded(robot, cfg: SolverConfig, tgt_r, tgt_t, x0,
                                             lambda idx: x[idx])
 
     return fn(to_global(tgt_r), to_global(tgt_t), to_global(x0))
+
+
+def build_sharded_cascade(robot, cfg: SolverConfig, mesh: Mesh, *,
+                          interpret: bool = False, **cascade_kw):
+    """Cascade scheduler sharded over the mesh's ``data`` axis.
+
+    The production throughput path on a pod: every chip runs the full
+    two-phase screen/compact/replay schedule (solver/cascade.py) on ITS OWN
+    pose shard — compaction is a local stable argsort, so no pose ever
+    crosses a chip boundary and the solve needs zero collectives (the only
+    cross-chip op is the psum of the ``lane_iters`` work counter).  This is
+    the deliberate inversion of the reference's global work-stealing queue
+    (lib.rs:298-301): locality beats load balance here because per-shard
+    work is concentrated by the cascade itself, and shard imbalance is
+    bounded by the tail phase (~1/8 of a shard's block time).
+
+    Per-pose results are bitwise identical to running the unsharded cascade
+    on each shard, so determinism is mesh-shape-invariant at fixed shard
+    size.  Returns ``fn(tgt_r (B,3,3), tgt_t (B,3), x0 (B,A)) -> IKResult``
+    with B divisible by ``data_axis * p_blk * pack``.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 JAX
+        from jax.experimental.shard_map import shard_map
+
+    from ..solver import cascade
+
+    local = cascade.build_cascade_solver(robot.spec, cfg, dtype=robot.dtype,
+                                         interpret=interpret, **cascade_kw)
+
+    def shard_fn(tr, tt, x0):
+        res = local(tr, tt, x0)
+        li = res.lane_iters
+        if li is not None:
+            li = jax.lax.psum(li, "data")
+        return res._replace(lane_iters=li)
+
+    pose = P("data")
+    out_specs = ik_mod.IKResult(found=pose, x=pose, cost=pose, iters=pose,
+                                lane_iters=P())
+    # Replication checking must be off: pallas_call's out_shape structs do
+    # not carry the varying-mesh-axes annotation the checker wants (the
+    # kernel output is trivially per-shard anyway).
+    try:
+        sharded = shard_map(shard_fn, mesh=mesh,
+                            in_specs=(pose, pose, pose),
+                            out_specs=out_specs, check_vma=False)
+    except TypeError:  # pre-0.8 JAX spells it check_rep
+        sharded = shard_map(shard_fn, mesh=mesh,
+                            in_specs=(pose, pose, pose),
+                            out_specs=out_specs, check_rep=False)
+
+    def solve(tgt_r, tgt_t, x0):
+        return sharded(jnp.asarray(tgt_r, robot.dtype),
+                       jnp.asarray(tgt_t, robot.dtype),
+                       jnp.asarray(x0, robot.dtype))
+
+    return solve

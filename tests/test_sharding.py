@@ -64,3 +64,47 @@ def test_mesh_validation(robot):
                             tr, tt, x0, m)
     with pytest.raises(ValueError, match="mesh shape"):
         mesh_mod.make_mesh(jax.devices()[:4], data=3, seed=2)
+
+
+def test_sharded_cascade_matches_local(robot):
+    """build_sharded_cascade on a 4-shard data mesh: per-pose results are
+    bitwise identical to the unsharded cascade run shard-by-shard, and the
+    found mask matches the single-shot schedule (cascade contract)."""
+    import jax.numpy as jnp
+
+    from optik_tpu.solver import cascade
+
+    n_dev = 4
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough fake devices")
+
+    robot32 = Robot.from_urdf_file(asset_path("panda.urdf"), "panda_link0",
+                                   "panda_hand_tcp", dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    B = 64  # 16 poses per shard, p_blk=8
+    tr, tt = targets(robot32, B, rng)
+    lo, hi = robot32.joint_limits()
+    x0 = rng.uniform(lo, hi, size=(B, 7)).astype(np.float32)
+
+    cfg = SolverConfig.create("speed", max_restarts=48, seed_batch=8,
+                              max_iters=32)
+    m = mesh_mod.make_mesh(jax.devices()[:n_dev], data=n_dev, seed=1)
+    fn = mesh_mod.build_sharded_cascade(robot32, cfg, m, interpret=True,
+                                        p_blk=8, tail_div=2)
+    got = fn(tr, tt, x0)
+
+    local = cascade.build_cascade_solver(robot32.spec, cfg, p_blk=8,
+                                         tail_div=2, interpret=True)
+    shard = B // n_dev
+    for k in range(n_dev):
+        sl = slice(k * shard, (k + 1) * shard)
+        ref = local(jnp.asarray(tr[sl]), jnp.asarray(tt[sl]),
+                    jnp.asarray(x0[sl]))
+        np.testing.assert_array_equal(np.asarray(got.found)[sl],
+                                      np.asarray(ref.found))
+        np.testing.assert_array_equal(np.asarray(got.x)[sl],
+                                      np.asarray(ref.x))
+    # Work counter sums over shards.
+    assert int(got.lane_iters) > 0
+    found = np.asarray(got.found)
+    assert np.all(np.asarray(got.cost)[found] <= cfg.tol_f * (1 + 1e-5))
