@@ -119,33 +119,41 @@ def _solve_single(P, q, A, l, u, *, sigma, rho_base, rho_eq_scale, alpha,
         return pr, dr
 
     # --- polish: exact KKT solve on the detected active set ---------------
-    ax = A @ x
-    tol = 1e-7
-    act_low = (~is_eq) & (ax - l <= tol * (1.0 + jnp.abs(l))) & (y < 0)
-    act_up = (~is_eq) & (u - ax <= tol * (1.0 + jnp.abs(u))) & (y > 0)
-    active = is_eq | act_low | act_up
-    mask = active.astype(dtype)
-    b_act = jnp.where(act_up, u, l)  # equality rows: l == u
+    # Iterated: the first pass detects actives tightly from the ADMM point;
+    # a second pass re-detects from the (usually near-exact) polished point
+    # with a looser tolerance, catching actives the ADMM iterate had not
+    # quite pinned — this is what rescues lanes that stall a hair above the
+    # success gate on flat (LP-like) objectives.  Each candidate is kept
+    # only if it improves the summed residuals.
+    def polish(xc, yc, tol):
+        ax = A @ xc
+        act_low = (~is_eq) & (ax - l <= tol * (1.0 + jnp.abs(l))) & (yc < 0)
+        act_up = (~is_eq) & (u - ax <= tol * (1.0 + jnp.abs(u))) & (yc > 0)
+        active = is_eq | act_low | act_up
+        mask = active.astype(dtype)
+        b_act = jnp.where(act_up, u, l)  # equality rows: l == u
 
-    # Masked KKT: rows [P x + A^T M lam = -q ; M A x - (I - M) lam = M b].
-    kkt = jnp.block([
-        [P + polish_reg * jnp.eye(n, dtype=dtype), A.T * mask],
-        [mask[:, None] * A,
-         -jnp.diag(1.0 - mask) - polish_reg * jnp.eye(m, dtype=dtype)],
-    ])
-    rhs = jnp.concatenate([-q, mask * b_act])
-    sol = jnp.linalg.solve(kkt, rhs)
-    x_p, y_p = sol[:n], sol[n:]
+        # Masked KKT: [P x + A^T M lam = -q ; M A x - (I - M) lam = M b].
+        kkt = jnp.block([
+            [P + polish_reg * jnp.eye(n, dtype=dtype), A.T * mask],
+            [mask[:, None] * A,
+             -jnp.diag(1.0 - mask) - polish_reg * jnp.eye(m, dtype=dtype)],
+        ])
+        rhs = jnp.concatenate([-q, mask * b_act])
+        sol = jnp.linalg.solve(kkt, rhs)
+        return sol[:n], sol[n:]
 
-    pr_admm, dr_admm = residuals(x, y)
-    pr_pol, dr_pol = residuals(x_p, y_p)
-    finite = jnp.all(jnp.isfinite(x_p))
-    use_polish = finite & (pr_pol + dr_pol < pr_admm + dr_admm)
-
-    x_out = jnp.where(use_polish, x_p, x)
-    y_out = jnp.where(use_polish, y_p, y)
-    pr = jnp.where(use_polish, pr_pol, pr_admm)
-    dr = jnp.where(use_polish, dr_pol, dr_admm)
+    x_out, y_out = x, y
+    pr, dr = residuals(x, y)
+    for tol in (1e-7, 1e-5, 1e-3):
+        x_p, y_p = polish(x_out, y_out, tol)
+        pr_pol, dr_pol = residuals(x_p, y_p)
+        finite = jnp.all(jnp.isfinite(x_p))
+        better = finite & (pr_pol + dr_pol < pr + dr)
+        x_out = jnp.where(better, x_p, x_out)
+        y_out = jnp.where(better, y_p, y_out)
+        pr = jnp.where(better, pr_pol, pr)
+        dr = jnp.where(better, dr_pol, dr)
     return QPSolution(x=x_out, y=y_out, primal_res=pr, dual_res=dr)
 
 
