@@ -71,7 +71,46 @@ def main():
             "efficiency": round(rate / (base_rate * n), 3),
             "success_rate": round(float(np.asarray(res.found).mean()), 4),
             "batch": B,
-        }))
+        }), flush=True)
+
+    # Same weak-scaling series on the production throughput path: the
+    # cascade scheduler shard_mapped per pose shard (zero collectives).
+    # Interpret-mode on CPU/fake devices validates mechanics only.
+    interp = jax.devices()[0].platform not in ("tpu", "axon")
+    base_rate = None
+    for n in counts:
+        mesh = pmesh.make_mesh(jax.devices()[:n], data=n, seed=1)
+        per = 4096 if not interp else 32
+        B = per * n
+        qt = rng.uniform(lo, hi, size=(B, 7))
+        tr, tt = robot.fk_batch(qt)
+        tr = np.asarray(tr, np.float32)
+        tt = np.asarray(tt, np.float32)
+        x0 = rng.uniform(lo, hi, size=(B, 7)).astype(np.float32)
+        solve = pmesh.build_sharded_cascade(
+            robot, cfg, mesh, interpret=interp,
+            p_blk=512 if not interp else 8, p_blk2=256 if not interp else 8)
+        res = solve(tr, tt, x0)
+        _ = int(jnp.sum(res.found.astype(jnp.int32)))
+        t0 = time.perf_counter()
+        iters = 3
+        for _ in range(iters):
+            res = solve(tr, tt, x0)
+            _ = int(jnp.sum(res.found.astype(jnp.int32)))
+        dt = (time.perf_counter() - t0) / iters
+        rate = B / dt
+        if base_rate is None:
+            base_rate = rate
+        print(json.dumps({
+            "metric": "scaling_cascade_solves_per_s",
+            "devices": n,
+            "value": round(rate, 1),
+            "unit": "solves/s",
+            "efficiency": round(rate / (base_rate * n), 3),
+            "success_rate": round(float(np.asarray(res.found).mean()), 4),
+            "batch": B,
+            "interpret": interp,
+        }), flush=True)
 
 
 if __name__ == "__main__":
