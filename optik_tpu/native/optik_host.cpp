@@ -831,9 +831,14 @@ DiffIkResult diff_ik_solve(const Chain& c, const double* x0,
   const int n = c.n;
   const int nv = n + 1;      // decision vector [v; alpha]
   const int m = 6 + n + 1;   // eq rows + velocity box + alpha box
-  constexpr double kReg = 1e-9, kAlphaReward = -100.0;
+  // Twin of solver/diffik.py: alpha reward -1 (NOT the reference's -100 —
+  // any negative LP coefficient gives the same argmax and -100 inflates
+  // the equality duals 100x, stalling ADMM on loosely-constrained states);
+  // success gates on tracking + stationarity after box projection.
+  constexpr double kReg = 1e-9, kAlphaReward = -1.0;
   constexpr double kSigma = 1e-6, kRhoBase = 1.0, kRhoEq = 1e3;
-  constexpr double kRelax = 1.6, kResTol = 1e-6, kPolishReg = 1e-11;
+  constexpr double kRelax = 1.6, kPolishReg = 1e-11;
+  constexpr double kTrackTol = 1e-5, kStatTol = 1e-3;
   constexpr int kIters = 800;
 
   // World-frame Jacobian at x0.
@@ -954,61 +959,75 @@ DiffIkResult diff_ik_solve(const Chain& c, const double* x0,
     }
   };
 
-  // Polish: exact KKT solve on the detected active set (qp.py:86-113).
-  std::vector<double> ax(m);
-  for (int r = 0; r < m; ++r) {
-    double s = 0;
-    for (int i = 0; i < nv; ++i) s += A[r * nv + i] * x[i];
-    ax[r] = s;
-  }
-  const double tol = 1e-7;
-  std::vector<double> mask(m), b_act(m);
-  for (int r = 0; r < m; ++r) {
-    const bool is_eq = r < 6;
-    const bool low = !is_eq && (ax[r] - l[r] <= tol * (1.0 + std::fabs(l[r]))) &&
-                     y[r] < 0;
-    const bool up = !is_eq && (u[r] - ax[r] <= tol * (1.0 + std::fabs(u[r]))) &&
-                    y[r] > 0;
-    mask[r] = (is_eq || low || up) ? 1.0 : 0.0;
-    b_act[r] = up ? u[r] : l[r];
-  }
+  // Iterated polish (twin of qp.py): exact KKT solve on the detected
+  // active set, re-detecting from the current best point over a widening
+  // tolerance ladder; each candidate kept only if it improves residuals.
+  double pr, dr;
+  residuals(x, y, &pr, &dr);
+  std::vector<double> x_best = x, y_best = y;
   const int kk = nv + m;
-  std::vector<double> kkt(kk * kk, 0.0), krhs(kk);
-  for (int i = 0; i < nv; ++i) {
-    kkt[i * kk + i] = kReg + kPolishReg;
+  std::vector<double> ax(m), mask(m), b_act(m), kkt(kk * kk), krhs(kk);
+  for (const double tol : {1e-7, 1e-5, 1e-3}) {
     for (int r = 0; r < m; ++r) {
-      kkt[i * kk + (nv + r)] = A[r * nv + i] * mask[r];
-      kkt[(nv + r) * kk + i] = mask[r] * A[r * nv + i];
+      double s = 0;
+      for (int i = 0; i < nv; ++i) s += A[r * nv + i] * x_best[i];
+      ax[r] = s;
     }
-    krhs[i] = -q[i];
-  }
-  for (int r = 0; r < m; ++r) {
-    kkt[(nv + r) * kk + (nv + r)] = -(1.0 - mask[r]) - kPolishReg;
-    krhs[nv + r] = mask[r] * b_act[r];
-  }
-  double pr_admm, dr_admm;
-  residuals(x, y, &pr_admm, &dr_admm);
-  double pr = pr_admm, dr = dr_admm;
-  std::vector<double> x_best = x;
-  if (lu_solve(kkt, krhs, kk)) {
+    for (int r = 0; r < m; ++r) {
+      const bool is_eq = r < 6;
+      const bool low = !is_eq &&
+                       (ax[r] - l[r] <= tol * (1.0 + std::fabs(l[r]))) &&
+                       y_best[r] < 0;
+      const bool up = !is_eq &&
+                      (u[r] - ax[r] <= tol * (1.0 + std::fabs(u[r]))) &&
+                      y_best[r] > 0;
+      mask[r] = (is_eq || low || up) ? 1.0 : 0.0;
+      b_act[r] = up ? u[r] : l[r];
+    }
+    std::fill(kkt.begin(), kkt.end(), 0.0);
+    for (int i = 0; i < nv; ++i) {
+      kkt[i * kk + i] = kReg + kPolishReg;
+      for (int r = 0; r < m; ++r) {
+        kkt[i * kk + (nv + r)] = A[r * nv + i] * mask[r];
+        kkt[(nv + r) * kk + i] = mask[r] * A[r * nv + i];
+      }
+      krhs[i] = -q[i];
+    }
+    for (int r = 0; r < m; ++r) {
+      kkt[(nv + r) * kk + (nv + r)] = -(1.0 - mask[r]) - kPolishReg;
+      krhs[nv + r] = mask[r] * b_act[r];
+    }
+    if (!lu_solve(kkt, krhs, kk)) continue;
     std::vector<double> x_p(krhs.begin(), krhs.begin() + nv);
     std::vector<double> y_p(krhs.begin() + nv, krhs.end());
     bool finite = true;
     for (double v : x_p) finite = finite && std::isfinite(v);
-    if (finite) {
-      double pr_pol, dr_pol;
-      residuals(x_p, y_p, &pr_pol, &dr_pol);
-      if (pr_pol + dr_pol < pr_admm + dr_admm) {
-        x_best = x_p;
-        pr = pr_pol;
-        dr = dr_pol;
-      }
+    if (!finite) continue;
+    double pr_pol, dr_pol;
+    residuals(x_p, y_p, &pr_pol, &dr_pol);
+    if (pr_pol + dr_pol < pr + dr) {
+      x_best = x_p;
+      y_best = y_p;
+      pr = pr_pol;
+      dr = dr_pol;
     }
   }
 
+  // Project onto the box (bound contracts hold exactly), then gate on the
+  // Cartesian tracking residual + KKT stationarity (diffik.py:_finalize).
   DiffIkResult res;
-  res.ok = pr < kResTol;
-  for (double v : x_best) res.ok = res.ok && std::isfinite(v);
+  bool finite = true;
+  for (double v : x_best) finite = finite && std::isfinite(v);
+  for (int j = 0; j < n; ++j)
+    x_best[j] = std::min(std::max(x_best[j], -v_max[j]), v_max[j]);
+  x_best[n] = std::min(std::max(x_best[n], 0.0), 1.0);
+  double track = 0;
+  for (int r = 0; r < 6; ++r) {
+    double s = 0;
+    for (int i = 0; i < nv; ++i) s += A[r * nv + i] * x_best[i];
+    track = std::max(track, std::fabs(s));
+  }
+  res.ok = finite && track < kTrackTol && dr < kStatTol;
   res.alpha = x_best[n];
   res.v.assign(x_best.begin(), x_best.begin() + n);
   return res;
