@@ -64,9 +64,9 @@ def main():
     # iterations per attempt.  tol_f matches the reference default.
     cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=32,
                        tol_f=1e-6)
-    # Overridable for smoke runs on slow backends (CI / CPU).
+    # Overridable for smoke runs on slow backends (CI / CPU); small B
+    # falls back to the XLA path at warmup (cascade tiles need B >= 1024).
     B = int(os.environ.get("OPTIK_BENCH_B", 16384))
-    P_BLK = min(512, B // 8) if B < 4096 else 512
 
     rng = np.random.default_rng(42)
     lo, hi = robot.joint_limits()
@@ -75,11 +75,9 @@ def main():
     try:
         from optik_tpu.solver import cascade
 
-        # Two-phase schedule: screen every pose with one restart round,
-        # replay the full budget on the failed ~8% only (solver/cascade.py).
-        solve = cascade.build_cascade_solver(robot.spec, cfg, p_blk=P_BLK,
-                                             phase1_rounds=1, tail_div=8,
-                                             p_blk2=256)
+        # The tuned production schedule (3-phase screen/mid/replay; see
+        # solver/cascade.build_default_solver and artifacts/TUNE2_r02.jsonl).
+        solve, _unit = cascade.build_default_solver(robot.spec, cfg)
     except Exception:
         solver_path = "xla"
         solve = robot._solver(cfg)

@@ -160,7 +160,6 @@ class Robot:
         s = min(config.seed_batch, config.total_restarts)
         if not (1 < s <= 16) or config.total_restarts <= 2 * s:
             return None
-        p_blk = 512
         ee_key = None
         if ee_offset is not None:
             ee_key = (np.asarray(ee_offset[0], np.float64).tobytes()
@@ -171,15 +170,12 @@ class Robot:
             try:
                 from .solver import cascade
 
-                fn = cascade.build_cascade_solver(
-                    self.spec, config, dtype=self.dtype, p_blk=p_blk,
-                    phase1_rounds=1, tail_div=8, p_blk2=256,
+                entry = cascade.build_default_solver(
+                    self.spec, config, dtype=self.dtype,
                     ee_offset=ee_offset)
             except (RuntimeError, NotImplementedError, ValueError) as exc:
                 self._kernel_fallback(exc, "cascade build")
                 return None
-            pack = 8 // s if 8 % s == 0 else 1
-            entry = (fn, p_blk * pack)
             self._solvers[key] = entry
         return entry
 

@@ -167,6 +167,46 @@ def build_multiphase_solver(spec, cfg: SolverConfig, *, screens,
     return solve
 
 
+def build_default_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
+                         interpret: bool = False, ee_offset=None,
+                         p_blk: int | None = None):
+    """The tuned production schedule; fn(tgt_r, tgt_t, x0) -> IKResult.
+
+    Returns ``(solve, block_unit)``: B must be a multiple of block_unit.
+
+    Three phases when the restart budget allows (v5e round-2 sweep,
+    artifacts/TUNE2_r02.jsonl — 534k Panda solves/s vs 439-510k for the
+    2-phase schedule at the same found set):
+
+      screen  every pose, 1 round of S lanes at ~3/4 max_iters, wide tile;
+      mid     failed quarter, 2 rounds at full iters;
+      final   failed 1/32, the full restart schedule.
+
+    Falls back to the 2-phase schedule when the budget is too small to
+    split three ways (needs > 3 rounds of S lanes).
+    """
+    s = min(cfg.seed_batch, cfg.total_restarts)
+    pack = _pack(s)
+    p1 = p_blk or 1024
+    p2 = min(256, p1)
+    screen_iters = max(1, (3 * cfg.max_iters) // 4)
+    if cfg.total_restarts > 3 * s:
+        solve = build_multiphase_solver(
+            spec, cfg,
+            screens=[{"seeds": s, "rounds": 1, "iters": screen_iters,
+                      "p_blk": p1, "keep_div": 4},
+                     {"seeds": s, "rounds": 2, "p_blk": p2,
+                      "keep_div": 8}],
+            final_p_blk=p2, dtype=dtype, interpret=interpret,
+            ee_offset=ee_offset)
+    else:
+        p1 = p_blk or 512
+        solve = build_cascade_solver(
+            spec, cfg, dtype=dtype, p_blk=p1, phase1_rounds=1, tail_div=8,
+            p_blk2=min(256, p1), interpret=interpret, ee_offset=ee_offset)
+    return solve, p1 * pack
+
+
 def build_cascade_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
                          p_blk: int = 256, phase1_rounds: int = 2,
                          tail_div: int = 8, p_blk2: int | None = None,

@@ -368,3 +368,36 @@ def test_tall_seed_layouts_match_xla(robot, mode, restarts, seed_batch):
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(xt), np.asarray(tt)[found],
                                atol=2e-3)
+
+
+@pytest.mark.parametrize("restarts,expect_phases", [
+    (64, 3),   # budget > 3 rounds -> 3-phase schedule
+    (20, 2),   # small budget -> 2-phase fallback
+])
+def test_default_solver_schedule(robot, restarts, expect_phases):
+    """build_default_solver (the production ik_batch route): found mask is
+    a superset of the single-shot kernel's, solutions valid, deterministic,
+    and the returned block unit divides the batch after padding."""
+    from optik_tpu.solver import cascade
+
+    cfg = SolverConfig.create("speed", max_restarts=restarts, seed_batch=8,
+                              max_iters=32)
+    fn, unit = cascade.build_default_solver(robot.spec, cfg, p_blk=8,
+                                            interpret=True)
+    assert unit == 8
+    B = 32
+    tr, tt, x0 = make_problem(robot, B, seed=8)
+
+    ref = robot.ik_batch(cfg, tr, tt, x0)
+    got = fn(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+    got2 = fn(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+
+    assert np.all(np.asarray(got.found) >= np.asarray(ref.found))
+    found = np.asarray(got.found)
+    assert np.all(np.asarray(got.cost)[found] <= cfg.tol_f * (1 + 1e-5))
+    xr, xt = robot.fk_batch(np.asarray(got.x)[found])
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(tr)[found],
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(got.found),
+                                  np.asarray(got2.found))
+    np.testing.assert_array_equal(np.asarray(got.x), np.asarray(got2.x))
