@@ -362,15 +362,28 @@ class Robot:
 
         Seeds outside the joint limits raise, as in the scalar path.
         """
-        x0 = np.asarray(x0, dtype=np.float64)
         lo, hi = self.joint_limits()
-        if np.any(x0 < lo) or np.any(x0 > hi):
-            raise ValueError("seed joint position outside of joint limits")
+        if isinstance(x0, jax.Array):
+            # Device-resident seeds: validate on device and fetch ONE
+            # boolean — np.asarray here would pull the whole (B, A) array
+            # across the wire (measured 149 ms/call on a relayed chip for
+            # an 8k batch, ~10x the solve itself).
+            x0j = jnp.asarray(x0, self.dtype)
+            bad = jnp.any((x0j < jnp.asarray(lo, self.dtype))
+                          | (x0j > jnp.asarray(hi, self.dtype)))
+            if bool(bad):
+                raise ValueError(
+                    "seed joint position outside of joint limits")
+        else:
+            x0 = np.asarray(x0, dtype=np.float64)
+            if np.any(x0 < lo) or np.any(x0 > hi):
+                raise ValueError(
+                    "seed joint position outside of joint limits")
+            x0j = jnp.asarray(x0, self.dtype)
         ee_r, ee_t = self._ee_offset(ee_offset)
 
         tgt_r = jnp.asarray(tgt_r, self.dtype)
         tgt_t = jnp.asarray(tgt_t, self.dtype)
-        x0j = jnp.asarray(x0, self.dtype)
 
         # On TPU, route through the VMEM-resident Pallas kernel (~10x the
         # XLA path); poses pad up to the kernel block size and the padding

@@ -227,3 +227,29 @@ def test_iters_observability(robot):
     res_far = robot.ik_batch(cfg, tr, far_t, x0)
     far_found = np.asarray(res_far.found)
     assert np.all(np.asarray(res_far.iters)[~far_found] == 0)
+
+
+def test_invalid_seed_device_array(robot):
+    """Device-resident seeds validate ON DEVICE (one-scalar fetch, not a
+    bulk pull of the whole batch) and still raise the same error."""
+    import jax.numpy as jnp
+
+    lo, hi = robot.joint_limits()
+    rng = np.random.default_rng(0)
+    tgt = random_reachable_target(robot, rng)
+    B = 4
+    x0 = np.tile(np.clip(np.zeros(6), lo, hi), (B, 1))
+    tr = np.tile(tgt[:3, :3], (B, 1, 1))
+    tt = np.tile(tgt[:3, 3], (B, 1))
+
+    # Valid device seeds solve normally.
+    res = robot.ik_batch(SolverConfig(max_restarts=8), tr, tt,
+                         jnp.asarray(x0))
+    assert res.found.shape == (B,)
+
+    # Out-of-limits device seeds raise the reference's error.
+    x0_bad = x0.copy()
+    x0_bad[1, 4] = hi[4] + 1.0
+    with pytest.raises(ValueError, match="joint limits"):
+        robot.ik_batch(SolverConfig(max_restarts=8), tr, tt,
+                       jnp.asarray(x0_bad))
