@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Round-2 cascade tuning, part 4: tail-capacity (keep_div) sweep.
+
+Lane-iteration accounting of the tuned 3-phase schedule (TUNE2 C2: screen
+it1=24/p1=1024/kd=4, mid 2r/p256/kd=8, final p256) splits the work roughly
+  screen 3.3M / mid 1.6M / final 1.1M  lane-iters per 16k batch.
+The screen-failure rate at a 24-iteration budget is ~3.5% of poses, so the
+mid phase's B/4 capacity has ~7x headroom — shrinking the tails (screen
+keep_div 4 -> 8, mid 8 -> 16) cuts mid+final work ~2x at an identical found
+set, as long as tail capacity stays comfortably above the observed failure
+rates.  keep_div is host-side compaction only, so these points mostly reuse
+the already-compiled kernels (new batch sizes still retrace).
+
+Success is compared on identical batches: `found` must match the C2
+baseline exactly or the point is rejected.
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
+    import jax.numpy as jnp
+
+    from optik_tpu import Robot, SolverConfig
+    from optik_tpu.models import asset_path
+    from optik_tpu.solver import cascade
+
+    robot = Robot.from_urdf_file(asset_path("panda.urdf"), "panda_link0",
+                                 "panda_hand_tcp", dtype=jnp.float32)
+    n = robot.num_positions()
+    cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=32,
+                       tol_f=1e-6)
+    B = 16384
+    rng = np.random.default_rng(42)
+    lo, hi = robot.joint_limits()
+
+    def make_batch():
+        q_tgt = rng.uniform(lo, hi, size=(B, n))
+        tr, tt = robot.fk_batch(q_tgt)
+        x0 = jax.device_put(
+            jnp.asarray(rng.uniform(lo, hi, size=(B, n)), jnp.float32))
+        return tr, tt, x0
+
+    batches = [make_batch() for _ in range(5)]
+
+    def run(tag, build):
+        try:
+            solve = build()
+            for tr, tt, x0 in batches:          # residency + compile
+                res = solve(tr, tt, x0)
+                _ = int(jnp.sum(res.found.astype(jnp.int32)))
+            lat, found, work = [], 0, 0
+            for tr, tt, x0 in batches:
+                t1 = time.perf_counter()
+                res = solve(tr, tt, x0)
+                found += int(jnp.sum(res.found.astype(jnp.int32)))
+                lat.append(time.perf_counter() - t1)
+                if res.lane_iters is not None:
+                    work += int(res.lane_iters)
+            p50 = float(np.median(lat))
+            print(json.dumps({
+                "cfg": tag, "solves_per_s": round(B / p50, 1),
+                "p50_ms": round(1e3 * p50, 2),
+                "found": found,
+                "success_rate": round(found / (B * len(batches)), 5),
+                "lane_iters_per_batch": work // len(batches)}),
+                flush=True)
+        except Exception as e:
+            print(json.dumps({"cfg": tag, "error": repr(e)[:200]}),
+                  flush=True)
+
+    def threeph(it1, kd1, kd2, p_mid=256, p_fin=256):
+        return lambda: cascade.build_multiphase_solver(
+            robot.spec, cfg,
+            screens=[{"seeds": 8, "rounds": 1, "iters": it1, "p_blk": 1024,
+                      "keep_div": kd1},
+                     {"seeds": 8, "rounds": 2, "p_blk": p_mid,
+                      "keep_div": kd2}],
+            final_p_blk=p_fin)
+
+    run("C2 baseline it1=24 kd=4/8", threeph(24, 4, 8))
+    run("D1 it1=24 kd=8/8", threeph(24, 8, 8))
+    run("D2 it1=24 kd=8/16", threeph(24, 8, 16))
+    run("D3 it1=24 kd=4/16", threeph(24, 4, 16))
+    run("D4 it1=20 kd=8/16", threeph(20, 8, 16))
+
+
+if __name__ == "__main__":
+    main()
