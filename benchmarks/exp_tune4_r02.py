@@ -13,6 +13,16 @@ the already-compiled kernels (new batch sizes still retrace).
 
 Success is compared on identical batches: `found` must match the C2
 baseline exactly or the point is rejected.
+
+RESULT (artifacts/TUNE4_r02.jsonl, v5e, 2026-08-21): avenue closed.
+Screen keep_div 8 loses 176/81854 solves — the 24-iteration 8-seed screen
+fails ~15-20% of poses (the iters-to-converge histogram undercounts this:
+it reports the *winning restart's* depth, not joint first-round failure),
+overflowing a B/8 mid tail.  And even with 15% fewer lane-iters (D1),
+wall-clock stayed at 531k vs the 534k baseline: the mid/final tails are
+small-batch and overhead-dominated, so tail work barely prices into
+latency.  The C2 schedule (kd=4/8) is a genuine local optimum; further
+throughput must come from the kernel inner loop, not the schedule.
 """
 
 import pathlib
@@ -90,11 +100,21 @@ def main():
                       "keep_div": kd2}],
             final_p_blk=p_fin)
 
-    run("C2 baseline it1=24 kd=4/8", threeph(24, 4, 8))
-    run("D1 it1=24 kd=8/8", threeph(24, 8, 8))
-    run("D2 it1=24 kd=8/16", threeph(24, 8, 16))
-    run("D3 it1=24 kd=4/16", threeph(24, 4, 16))
-    run("D4 it1=20 kd=8/16", threeph(20, 8, 16))
+    # The C2 baseline (it1=24, kd=4/8) is already recorded on these exact
+    # batches in artifacts/TUNE2_r02.jsonl: found=81854 (5 x 16384),
+    # 5.70M lane-iters/batch, 533.9k solves/s.  Each config recompiles all
+    # three phase kernels through the relay (~10 min), so probe only the
+    # new points, most valuable first; `found` must equal 81854.
+    which = sys.argv[1:] or ["D2", "D1", "D4"]
+    points = {
+        "C2": ("C2 baseline it1=24 kd=4/8", threeph(24, 4, 8)),
+        "D1": ("D1 it1=24 kd=8/8", threeph(24, 8, 8)),
+        "D2": ("D2 it1=24 kd=8/16", threeph(24, 8, 16)),
+        "D3": ("D3 it1=24 kd=4/16", threeph(24, 4, 16)),
+        "D4": ("D4 it1=20 kd=8/16", threeph(20, 8, 16)),
+    }
+    for name in which:
+        run(*points[name])
 
 
 if __name__ == "__main__":
