@@ -11,8 +11,10 @@ set, as long as tail capacity stays comfortably above the observed failure
 rates.  keep_div is host-side compaction only, so these points mostly reuse
 the already-compiled kernels (new batch sizes still retrace).
 
-Success is compared on identical batches: `found` must match the C2
-baseline exactly or the point is rejected.
+Success is compared on identical batches: each recorded point carries
+``matches_baseline`` (found == C2's 81854) and a ``batch_digest`` of the
+generated batches, so the artifact itself shows which points were
+disqualified and that the cross-file C2 comparison used the same inputs.
 
 RESULT (artifacts/TUNE4_r02.jsonl, v5e, 2026-08-21): avenue closed.
 Screen keep_div 8 loses 176/81854 solves — the 24-iteration 8-seed screen
@@ -64,6 +66,17 @@ def main():
         return tr, tt, x0
 
     batches = [make_batch() for _ in range(5)]
+    # Digest of the exact batch contents: lets any artifact row be checked
+    # for comparability against TUNE2's C2 baseline (same rng draw order).
+    import hashlib
+    h = hashlib.sha256()
+    for tr, tt, x0 in batches:
+        h.update(np.asarray(tr).tobytes())
+        h.update(np.asarray(x0).tobytes())
+    batch_digest = h.hexdigest()[:16]
+
+    # found-count of the C2 baseline on these batches (TUNE2_r02.jsonl).
+    C2_FOUND = 81854
 
     def run(tag, build):
         try:
@@ -84,6 +97,8 @@ def main():
                 "cfg": tag, "solves_per_s": round(B / p50, 1),
                 "p50_ms": round(1e3 * p50, 2),
                 "found": found,
+                "matches_baseline": found == C2_FOUND,
+                "batch_digest": batch_digest,
                 "success_rate": round(found / (B * len(batches)), 5),
                 "lane_iters_per_batch": work // len(batches)}),
                 flush=True)
@@ -113,6 +128,9 @@ def main():
         "D3": ("D3 it1=24 kd=4/16", threeph(24, 4, 16)),
         "D4": ("D4 it1=20 kd=8/16", threeph(20, 8, 16)),
     }
+    unknown = [w for w in which if w not in points]
+    if unknown:
+        sys.exit(f"unknown config(s) {unknown}; valid: {sorted(points)}")
     for name in which:
         run(*points[name])
 
