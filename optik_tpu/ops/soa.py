@@ -30,23 +30,28 @@ from ..math.so3 import EPSILON
 Mat = List[List]
 Vec = List
 
-# atan2 backend: Mosaic (Pallas TPU) has no atan2 primitive, so kernels
-# switch to a branchless Cephes-style polynomial (f32-accurate, ~1e-7);
-# everywhere else the exact jnp.arctan2 is used (f64 golden tests).
+# Kernel math mode: Mosaic (Pallas TPU) has no atan2 primitive, so kernels
+# switch to a branchless Cephes-style polynomial (f32-accurate, ~1e-7), and
+# sin/cos of joint angles to a shared-range-reduction polynomial pair
+# (:func:`sincos` — one reduction for both, vs two full libm-style
+# expansions).  Everywhere else the exact jnp primitives are used (f64
+# golden tests).
 _APPROX_ATAN2 = False
+_FAST_TRIG = False
 
 
 class approx_atan2:
-    """Context manager: trace atan2 as the polynomial approximation."""
+    """Context manager: trace kernel math (atan2 + sincos polynomials)."""
 
     def __enter__(self):
-        global _APPROX_ATAN2
-        self._prev = _APPROX_ATAN2
+        global _APPROX_ATAN2, _FAST_TRIG
+        self._prev = (_APPROX_ATAN2, _FAST_TRIG)
         _APPROX_ATAN2 = True
+        _FAST_TRIG = True
 
     def __exit__(self, *exc):
-        global _APPROX_ATAN2
-        _APPROX_ATAN2 = self._prev
+        global _APPROX_ATAN2, _FAST_TRIG
+        _APPROX_ATAN2, _FAST_TRIG = self._prev
 
 
 def _atan_nonneg(t):
@@ -69,6 +74,47 @@ def atan2_nonneg(y, x):
         return jnp.arctan2(y, x)
     r = _atan_nonneg(y / jnp.maximum(jnp.abs(x), 1e-30))
     return jnp.where(x < 0, jnp.pi - r, r)
+
+
+# Cody-Waite pi/2 split (2x the public-domain Cephes sinf DP1/DP2/DP3
+# constants): k * _PIO2_A is exact for the k magnitudes joint angles reach,
+# so the reduced argument keeps full f32 precision.
+_PIO2_A = 1.5703125
+_PIO2_B = 4.837512969970703e-4
+_PIO2_C = 7.549789948768648e-8
+
+
+def sincos(x):
+    """(sin x, cos x) with ONE shared range reduction in kernel math mode.
+
+    Outside kernel math mode this is exact jnp.sin/jnp.cos.  In kernels the
+    pair shares a single mod-pi/2 Cody-Waite reduction and evaluates the
+    two Cephes f32 minimax polynomials (~1e-7 abs error for |x| up to
+    ~1e4; joint angles are box-projected to their limits every step, so in
+    practice |x| < 4pi).  One reduction + 2 short polynomials replaces two
+    independent libm-style expansions — sin/cos of the revolute joints are
+    the largest single transcendental cost of the LM iteration (7 of the
+    ~15 remaining per lane-iter on the Panda).
+    """
+    if not _FAST_TRIG:
+        return jnp.sin(x), jnp.cos(x)
+    k = jnp.floor(x * (2.0 / jnp.pi) + 0.5)
+    r = x - k * _PIO2_A
+    r = r - k * _PIO2_B
+    r = r - k * _PIO2_C
+    z = r * r
+    sp = r + r * z * (-1.6666654611e-1
+                      + z * (8.3321608736e-3 + z * (-1.9515295891e-4)))
+    cp = 1.0 - 0.5 * z + z * z * (
+        4.166664568298827e-2
+        + z * (-1.388731625493765e-3 + z * 2.443315711809948e-5))
+    j = k - 4.0 * jnp.floor(k * 0.25)  # k mod 4, as floats (Mosaic-friendly)
+    swap = (j == 1.0) | (j == 3.0)
+    s_abs = jnp.where(swap, cp, sp)
+    c_abs = jnp.where(swap, sp, cp)
+    s = jnp.where((j == 2.0) | (j == 3.0), -s_abs, s_abs)
+    c = jnp.where((j == 1.0) | (j == 2.0), -c_abs, c_abs)
+    return s, c
 
 
 # --- generic small linear algebra (unrolled at trace time) -----------------
@@ -118,13 +164,16 @@ def vec_cross(u: Vec, v: Vec) -> Vec:
 
 def cholesky_solve(a: Mat, b: Vec) -> Vec:
     """Unrolled SPD solve on components (same scheme as math/linalg.py)."""
+    import jax
+
     n = len(b)
     l = [[None] * n for _ in range(n)]
     for j in range(n):
         s = a[j][j]
         for k in range(j):
             s = s - l[j][k] * l[j][k]
-        inv_d = jnp.sqrt(jnp.maximum(s, 1e-30)) ** -1.0
+        # rsqrt is a single VPU approximation+refine op vs sqrt-then-divide.
+        inv_d = jax.lax.rsqrt(jnp.maximum(s, 1e-30))
         l[j][j] = inv_d
         for i in range(j + 1, n):
             s = a[i][j]
@@ -151,8 +200,8 @@ def cholesky_solve(a: Mat, b: Vec) -> Vec:
 
 def rodrigues(axis: Vec, angle) -> Mat:
     """R = I + sin(q) K + (1-cos(q)) K^2 for a (static) unit axis."""
-    s = jnp.sin(angle)
-    c1 = 1.0 - jnp.cos(angle)
+    s, c = sincos(angle)
+    c1 = 1.0 - c
     kx, ky, kz = axis
     return [
         [1.0 + c1 * (-(ky * ky) - kz * kz), -s * kz + c1 * kx * ky,
@@ -231,39 +280,129 @@ def add_hat_terms(diag, w: Vec, c_hat, c_hat2) -> Mat:
     ]
 
 
-def _hat_coeffs(theta2):
-    """a = sin(t)/t, b = (1-cos t)/t^2, branchless (math/so3.py)."""
+def rot_log_terms(r: Mat):
+    """Rotation log + exact trig of the angle: (w, trig) from R directly.
+
+    ``w = log(R)`` as a rotation vector and ``trig = (theta, theta2,
+    sin theta, cos theta)``, costing ONE sqrt and one atan2 for the whole
+    bundle.  Two identities make this cheap:
+
+      * Shepperd's four quaternion candidates are each *proportional* to
+        the quaternion (candidate c is ``4c * (x, y, z, w)``), so the
+        max-trace branch select works on the unnormalized candidates and
+        the normalization (5 sqrt + 16 div in ``mat_to_quat``) is never
+        needed — ``atan2(|v|, w)`` and ``theta/|v|`` are scale-free;
+      * sin/cos of the *full* angle come from the double-angle identities
+        ``sin t = 2 v w / |q|^2``, ``cos t = (w^2 - v^2) / |q|^2`` instead
+        of calling sin/cos — exact, not approximations.
+
+    Downstream (se3_log_trig / se3_right_jacobian_blocks_trig /
+    so3_right_jacobian_trig) all reuse this trig, where the naive chain
+    recomputed sqrt+sin+cos three times (the round-2 profile counted 42
+    transcendentals per lane-iteration; this chain now costs ~17).
+    Formula provenance: math/so3.py (Shepperd, quaternion log — reference
+    math.rs:40-63 with the same double-cover handling and Taylor switch).
+    """
+    r00, r01, r02 = r[0]
+    r10, r11, r12 = r[1]
+    r20, r21, r22 = r[2]
+    tw = 1.0 + r00 + r11 + r22
+    tx = 1.0 + r00 - r11 - r22
+    ty = 1.0 - r00 + r11 - r22
+    tz = 1.0 - r00 - r11 + r22
+    a01 = r01 + r10
+    a02 = r02 + r20
+    a12 = r12 + r21
+    s21 = r21 - r12
+    s02 = r02 - r20
+    s10 = r10 - r01
+    # Per-component Shepperd candidates, ordered (w-, x-, y-, z-branch).
+    cand_x = (s21, tx, a01, a02)
+    cand_y = (s02, a01, ty, a12)
+    cand_z = (s10, a02, a12, tz)
+    cand_w = (tw, s21, s02, s10)
+    m_w = (tw >= tx) & (tw >= ty) & (tw >= tz)
+    m_x = (~m_w) & (tx >= ty) & (tx >= tz)
+    m_y = (~m_w) & (~m_x) & (ty >= tz)
+
+    def pick(c):
+        return jnp.where(m_w, c[0],
+                         jnp.where(m_x, c[1], jnp.where(m_y, c[2], c[3])))
+
+    x, y, z, w = pick(cand_x), pick(cand_y), pick(cand_z), pick(cand_w)
+    sign = jnp.where(w < 0.0, -1.0, 1.0)  # double cover: w >= 0
+    x, y, z, w = x * sign, y * sign, z * sign, w * sign
+
+    v2 = x * x + y * y + z * z
+    n2 = v2 + w * w
+    vn = jnp.sqrt(v2)
+    half = atan2_nonneg(vn, w)     # theta/2, scale-free, in [0, pi/2]
+    theta = 2.0 * half
+    small = v2 <= EPSILON * n2     # == normalized v2 <= EPSILON
+    # t = theta / vn (scale cancels); Taylor in v2/w^2 near the zero
+    # rotation where vn underflows the division.
+    inv_w = 1.0 / jnp.where(small, jnp.maximum(w, 1e-30), w)
+    u = v2 * inv_w * inv_w
+    taylor = inv_w * (1.0 - u / 3.0 + (u * u) / 5.0)
+    tt = 2.0 * jnp.where(small, taylor, half / jnp.where(small, 1.0, vn))
+    w_log = [x * tt, y * tt, z * tt]
+    inv_n2 = 1.0 / n2
+    sin_t = 2.0 * vn * w * inv_n2
+    cos_t = (w * w - v2) * inv_n2
+    return w_log, (theta, theta * theta, sin_t, cos_t)
+
+
+def _trig_from_w(w: Vec):
+    """(theta, theta2, sin, cos) for a rotation vector (legacy entry)."""
+    theta2 = vec_dot(w, w)
+    theta = jnp.sqrt(theta2)
+    s, c = sincos(theta)
+    return theta, theta2, s, c
+
+
+def _hat_coeffs_trig(trig):
+    """a = sin(t)/t, b = (1-cos t)/t^2, branchless, from shared trig."""
+    theta, theta2, s, c = trig
     small = theta2 <= EPSILON
-    t2s = jnp.where(small, 1.0, theta2)
-    t = jnp.sqrt(t2s)
-    s, c = jnp.sin(t), jnp.cos(t)
+    inv_t2 = 1.0 / jnp.where(small, 1.0, theta2)
     t4 = theta2 * theta2
-    a = jnp.where(small, 1.0 - theta2 / 6.0 + t4 / 120.0, s / t)
-    b = jnp.where(small, 0.5 - theta2 / 24.0 + t4 / 720.0, (1.0 - c) / t2s)
-    return a, b, small, t2s
+    a = jnp.where(small, 1.0 - theta2 / 6.0 + t4 / 120.0,
+                  s * theta * inv_t2)  # sin(t)/t without a fresh rsqrt
+    b = jnp.where(small, 0.5 - theta2 / 24.0 + t4 / 720.0,
+                  (1.0 - c) * inv_t2)
+    return a, b, small, inv_t2
+
+
+def so3_right_jacobian_trig(w: Vec, trig) -> Mat:
+    a, b, small, inv_t2 = _hat_coeffs_trig(trig)
+    theta2 = trig[1]
+    t4 = theta2 * theta2
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0 + t4 / 5040.0,
+                  (1.0 - a) * inv_t2)
+    e = (b - 2.0 * c) / (2.0 * a)
+    return add_hat_terms(1.0, w, 0.5, e)
 
 
 def so3_right_jacobian_from_w(w: Vec) -> Mat:
-    theta2 = vec_dot(w, w)
-    a, b, small, t2s = _hat_coeffs(theta2)
-    t4 = theta2 * theta2
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0 + t4 / 5040.0,
-                  (1.0 - a) / t2s)
-    e = (b - 2.0 * c) / (2.0 * a)
-    return add_hat_terms(1.0, w, 0.5, e)
+    return so3_right_jacobian_trig(w, _trig_from_w(w))
 
 
 # --- SE(3) -----------------------------------------------------------------
 
 
-def se3_log_from_w(w: Vec, t: Vec) -> Vec:
-    """[v; w] with v = V^{-1} t, given w = log(R) (see math/se3.py)."""
-    theta2 = vec_dot(w, w)
-    small = theta2 <= EPSILON * EPSILON
-    t2s = jnp.where(small, 1.0, theta2)
-    th = jnp.sqrt(t2s)
-    s, c = jnp.sin(th), jnp.cos(th)
-    coef_exact = (1.0 - 0.5 * th * s / (1.0 - c)) / t2s
+def se3_log_trig(w: Vec, t: Vec, trig) -> Vec:
+    """[v; w] with v = V^{-1} t, given w = log(R) and its trig.
+
+    The Taylor switch is at theta2 <= EPSILON (theta ~ 1e-3), wider than
+    math/se3.py's: in f32 the exact branch's 1 - cos(theta) rounds to 0
+    below theta ~ 3e-4 (division blow-up), while the 3-term Taylor tail at
+    theta = 1e-3 is ~1e-13 relative — strictly more accurate there.
+    """
+    theta, theta2, s, c = trig
+    small = theta2 <= EPSILON
+    inv_t2 = 1.0 / jnp.where(small, 1.0, theta2)
+    coef_exact = (1.0 - 0.5 * theta * s
+                  / jnp.maximum(1.0 - c, 1e-30)) * inv_t2
     t4 = theta2 * theta2
     coef_taylor = 1.0 / 12.0 + theta2 / 720.0 + t4 / 30240.0
     coef = jnp.where(small, coef_taylor, coef_exact)
@@ -272,23 +411,25 @@ def se3_log_from_w(w: Vec, t: Vec) -> Vec:
     return v + list(w)
 
 
+def se3_log_from_w(w: Vec, t: Vec) -> Vec:
+    return se3_log_trig(w, t, _trig_from_w(w))
+
+
 def se3_log(r: Mat, t: Vec) -> Vec:
-    return se3_log_from_w(mat_log(r), t)
+    w, trig = rot_log_terms(r)
+    return se3_log_trig(w, t, trig)
 
 
-def se3_right_jacobian_blocks(w: Vec, t: Vec):
-    """(J_r(w), Q(t, w)) blocks of the 6x6 right Jacobian, given w = log(R)."""
-    theta2 = vec_dot(w, w)
+def se3_right_jacobian_blocks_trig(w: Vec, t: Vec, trig):
+    """(J_r(w), Q(t, w)) blocks of the 6x6 right Jacobian, shared trig."""
+    theta, theta2, s, c = trig
     small = theta2 <= EPSILON
-    t2s = jnp.where(small, 1.0, theta2)
-    th = jnp.sqrt(t2s)
-    t4s = t2s * t2s
-    s, c = jnp.sin(th), jnp.cos(th)
+    inv_t2 = 1.0 / jnp.where(small, 1.0, theta2)
 
-    s_t = s / th
-    inv_1mc = 1.0 / (2.0 * (1.0 - c))
-    a_exact = 1.0 / t2s - s_t * inv_1mc
-    b_exact = -2.0 / t4s + (1.0 + s_t) * inv_1mc / t2s
+    s_t = s * theta * inv_t2  # sin(theta)/theta
+    inv_1mc = 1.0 / jnp.maximum(2.0 * (1.0 - c), 1e-30)
+    a_exact = inv_t2 - s_t * inv_1mc
+    b_exact = -2.0 * inv_t2 * inv_t2 + (1.0 + s_t) * inv_1mc * inv_t2
     a = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, a_exact)
     b = jnp.where(small, 1.0 / 360.0, b_exact)
 
@@ -310,9 +451,14 @@ def se3_right_jacobian_blocks(w: Vec, t: Vec):
          0.5 * tx + cvec[2] * wy + a * wz * ty,
          cvec[2] * wz + a * wz * tz + da],
     ]
-    jr = so3_right_jacobian_from_w(w)
+    jr = so3_right_jacobian_trig(w, trig)
     q = mat_mul(C, jr)
     return jr, q
+
+
+def se3_right_jacobian_blocks(w: Vec, t: Vec):
+    """Legacy entry computing the angle trig from ``w`` itself."""
+    return se3_right_jacobian_blocks_trig(w, t, _trig_from_w(w))
 
 
 # --- chain kinematics ------------------------------------------------------
@@ -414,13 +560,16 @@ def residual_and_jtask(consts, q: Vec, tgt_r: Mat, tgt_t: Vec,
     xr = mat_mul(mat_t(tgt_r), r_ee)
     xt = mat_tvec(tgt_r, vec_sub(t_ee, tgt_t))
 
-    w_log = mat_log(xr)
-    e = se3_log_from_w(w_log, xt)
+    # One rotation-log + angle-trig bundle shared by the SE(3) log and both
+    # right-Jacobian blocks (see rot_log_terms — the naive chain recomputed
+    # sqrt/sin/cos three times over).
+    w_log, trig = rot_log_terms(xr)
+    e = se3_log_trig(w_log, xt, trig)
 
     a = len(q)
     cols = jacobian_cols(consts, frames, r_ee, t_ee)
 
-    jr, qq = se3_right_jacobian_blocks(w_log, xt)
+    jr, qq = se3_right_jacobian_blocks_trig(w_log, xt, trig)
     # J_task = [[jr, qq], [0, jr]] @ Jgeo  -> 6 x A
     jt = [[None] * a for _ in range(6)]
     for j in range(a):
