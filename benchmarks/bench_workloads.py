@@ -73,6 +73,28 @@ def main():
         "success_rate": round(float(jnp.mean(res.found.astype(jnp.float32))), 4),
         "batch": B, "seeds": 256, "device": dev}))
 
+    # Same workload under the quality_max_successes semantic extension
+    # (config.py; VERDICT r2 item 7): truncate each pose's exploration after
+    # k successful attempts.  Reports the quality give-up alongside the
+    # speedup: mean/max seed-distance regression vs full reference
+    # semantics over the found poses.
+    d_full = jnp.linalg.norm(res.x - x0, axis=-1)
+    for k in (8, 2):
+        cfg_k = cfg_q.replace(quality_max_successes=k)
+        res_k, dt_k = timed(lambda: panda.ik_batch(cfg_k, tr, tt, x0))
+        f = np.asarray(res.found) & np.asarray(res_k.found)
+        d_k = jnp.linalg.norm(res_k.x - x0, axis=-1)
+        dreg = np.asarray(d_k - d_full)[f]
+        print(json.dumps({
+            "metric": "panda_quality_256seed_cap_solves_per_s",
+            "cap": k, "value": round(B / dt_k, 1), "unit": "solves/s",
+            "speedup_vs_full": round(dt / dt_k, 3),
+            "success_rate": round(
+                float(jnp.mean(res_k.found.astype(jnp.float32))), 4),
+            "seed_dist_regression_mean": round(float(dreg.mean()), 4),
+            "seed_dist_regression_max": round(float(dreg.max()), 4),
+            "batch": B, "seeds": 256, "device": dev}))
+
     # --- config 3: UR5 tight limits --------------------------------------
     ur5 = Robot.from_urdf_file(asset_path("ur5.urdf"), "base_link", "ee_link")
     spec = ur5.spec
@@ -110,7 +132,11 @@ def main():
     cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=32)
     chunk = 8192
     n_chunks = 16  # 131k poses here; scale n_chunks for the full 1M run
-    solve = lambda a, b, c: panda.ik_batch(cfg, a, b, c)
+    # validate_seeds=False: chunk seeds are uniform-in-limits by
+    # construction, and the per-call device-bool fetch of the validation
+    # would serialize the chunk pipeline (robot.ik_batch docstring).
+    solve = lambda a, b, c: panda.ik_batch(cfg, a, b, c,
+                                           validate_seeds=False)
     # Warm up compile.
     qt = rng.uniform(lo, hi, size=(chunk, 7))
     trc, ttc = panda.fk_batch(qt)

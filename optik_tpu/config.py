@@ -89,6 +89,16 @@ class SolverConfig:
     # Base RNG seed; restart i draws from fold_in(key(rng_seed), i), mirroring
     # the reference's ChaCha8 stream-per-restart scheme (lib.rs:360-362).
     rng_seed: int = 42
+    # SEMANTIC EXTENSION (off by default): in Quality mode, stop a pose's
+    # restart exploration once it has recorded this many *successful*
+    # attempts, selecting the best (min ‖x - x0‖) among those instead of
+    # among the full budget's successes.  0 preserves reference semantics
+    # (lib.rs:398-408 always consumes the whole budget).  The reference has
+    # no analog; this trades a bounded amount of solution quality (best-of-k
+    # vs best-of-all) for early pose freezing — the only Quality-mode
+    # throughput lever, since its per-pose work is otherwise uniform by
+    # construction (see solver/cascade.py docstring).
+    quality_max_successes: int = 0
 
     def __post_init__(self):
         # Note: the reference Python binding rejects (max_time=0,

@@ -180,7 +180,10 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
             success_stops_group=(mode == SolutionMode.SPEED),
             group_axis=0, group_size=s if g > 1 else None,
             explore_full_budget=(mode == SolutionMode.QUALITY),
-            qx0=qx0)
+            qx0=qx0,
+            group_success_cap=(
+                cfg.quality_max_successes or None
+                if mode == SolutionMode.QUALITY else None))
 
         for p in range(a):
             x_ref[p] = res.xs[p]

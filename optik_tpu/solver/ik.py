@@ -197,7 +197,10 @@ def build_batch_solver(spec, cfg: SolverConfig, dtype, mesh=None):
             total_restarts=r_total,
             success_stops_group=(cfg.solution_mode == SolutionMode.SPEED),
             explore_full_budget=(cfg.solution_mode == SolutionMode.QUALITY),
-            quality_x0=x0[:, None])
+            quality_x0=x0[:, None],
+            group_success_cap=(
+                cfg.quality_max_successes or None
+                if cfg.solution_mode == SolutionMode.QUALITY else None))
 
         xs = constrain(res.x, lane_sharding if mesh is not None else None)
         if res.restart_index is not None:

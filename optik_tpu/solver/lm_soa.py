@@ -72,9 +72,18 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
             group_axis: int = -1,
             group_size: Optional[int] = None,  # rows per pose along axis 0
             explore_full_budget: bool = False,
-            qx0=None                # A components: caller's seed (quality)
+            qx0=None,               # A components: caller's seed (quality)
+            group_success_cap: Optional[int] = None
             ) -> LoopOut:
-    """The lockstep LM loop on component lists (see module docstring)."""
+    """The lockstep LM loop on component lists (see module docstring).
+
+    ``group_success_cap`` (Quality mode only, config.quality_max_successes):
+    freeze a pose once its lanes have collectively completed that many
+    successful attempts — the best-so-far tracking still selects the
+    min-seed-distance among them.  A pose with any success stays found, so
+    the found mask is identical to the uncapped schedule; only the
+    *selection pool* shrinks (documented semantic extension).
+    """
     a = len(xs0)
     lane_shape = jnp.broadcast_shapes(*[jnp.shape(x) for x in xs0])
     dtype = xs0[0].dtype
@@ -139,14 +148,15 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
             zero_i,                            # per-attempt iteration
             one_i,                             # pending: adopt x this iter
             best0,
-            zero_i)                            # iters at first success
+            zero_i,                            # iters at first success
+            zero_i)                            # completed successful attempts
 
     def cond(c):
         return (c[8] < max_total_iters) & ~jnp.all(c[6] > 0)
 
     def body(c):
         (xs_t, e_t, jt_flat, f, lam, nu, stopped_i, success_i, it,
-         cur_idx, it_lane, pending_i, best, succ_it) = c
+         cur_idx, it_lane, pending_i, best, succ_it, succ_cnt) = c
         stopped = stopped_i > 0
         success = success_i > 0
         pending = pending_i > 0
@@ -320,11 +330,36 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
                 stopped = stopped | jnp.broadcast_to(pose_done, lane_shape)
                 pending_next = pending_next & ~pose_done
 
+        if group_success_cap is not None:
+            # Quality truncation-after-k: count completed successful
+            # attempts per lane, reduce over the pose's lane group, and
+            # freeze the pose at >= cap (config.quality_max_successes).
+            succ_cnt = succ_cnt + (run & succ_now).astype(jnp.int32)
+            cnt = succ_cnt.astype(dtype)
+            if len(lane_shape) >= 2 and group_size is not None \
+                    and group_size != lane_shape[0]:
+                # Pose-packed sublane layout: group sums as the same
+                # block-diagonal iota matmul as the Speed freeze above.
+                rows = lane_shape[0]
+                r_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+                c_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+                gmat = ((r_i // group_size) == (c_i // group_size)
+                        ).astype(dtype)
+                pose_cnt = gmat @ cnt
+            elif len(lane_shape) >= 2:
+                pose_cnt = jnp.broadcast_to(
+                    jnp.sum(cnt, axis=group_axis, keepdims=True), lane_shape)
+            else:
+                pose_cnt = cnt
+            capped = pose_cnt >= float(group_success_cap)
+            stopped = stopped | capped
+            pending_next = pending_next & ~capped
+
         return (tuple(x_next), tuple(e_next), jt_next, f_next,
                 lam_next, nu_next, stopped.astype(jnp.int32),
                 success.astype(jnp.int32), it + 1,
                 cur_idx_next, it_next, pending_next.astype(jnp.int32), best,
-                succ_it)
+                succ_it, succ_cnt)
 
     out = jax.lax.while_loop(cond, body, init)
     if track_best:
@@ -348,7 +383,8 @@ def solve_soa(consts, lower, upper, opts: LMOptions,
               total_restarts: int = 0,
               success_stops_group: bool = False,
               explore_full_budget: bool = False,
-              quality_x0: Optional[jnp.ndarray] = None) -> LMResult:
+              quality_x0: Optional[jnp.ndarray] = None,
+              group_success_cap: Optional[int] = None) -> LMResult:
     """Array-in/array-out wrapper around :func:`lm_loop`.
 
     Lane axes = x0.shape[:-1]; the seed-group axis (for Speed-mode pose
@@ -379,7 +415,8 @@ def solve_soa(consts, lower, upper, opts: LMOptions,
                   weight6, seed_lookup=seed_lookup, lane_index=lane_index,
                   total_restarts=total_restarts, s_lanes=s_lanes,
                   success_stops_group=success_stops_group, group_axis=-1,
-                  explore_full_budget=explore_full_budget, qx0=qx0)
+                  explore_full_budget=explore_full_budget, qx0=qx0,
+                  group_success_cap=group_success_cap)
 
     return LMResult(x=jnp.stack(list(out.xs), axis=-1), f=out.f,
                     success=out.success, iters=out.iters,

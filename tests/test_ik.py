@@ -253,3 +253,40 @@ def test_invalid_seed_device_array(robot):
     with pytest.raises(ValueError, match="joint limits"):
         robot.ik_batch(SolverConfig(max_restarts=8), tr, tt,
                        jnp.asarray(x0_bad))
+
+
+def test_quality_success_cap(robot):
+    """quality_max_successes (semantic extension, config.py): capped runs
+    keep the exact found mask of the uncapped schedule (capping only fires
+    AFTER a success exists), a large cap reproduces reference semantics
+    bitwise, and a tight cap may only trade seed distance, never validity.
+    """
+    rng = np.random.default_rng(11)
+    lo, hi = robot.joint_limits()
+    B = 12
+    tr = np.empty((B, 3, 3))
+    tt = np.empty((B, 3))
+    for i in range(B):
+        m = random_reachable_target(robot, rng)
+        tr[i], tt[i] = m[:3, :3], m[:3, 3]
+    x0 = np.clip(np.zeros((B, 6)), lo, hi)
+
+    base = SolverConfig.create("quality", max_restarts=24, seed_batch=8,
+                               max_iters=32)
+    res0 = robot.ik_batch(base, tr, tt, x0)
+    res_inf = robot.ik_batch(base.replace(quality_max_successes=10**6),
+                             tr, tt, x0)
+    res1 = robot.ik_batch(base.replace(quality_max_successes=1), tr, tt, x0)
+
+    f0 = np.asarray(res0.found)
+    # A cap never fires before the first success: found is preserved.
+    np.testing.assert_array_equal(f0, np.asarray(res1.found))
+    # An unreachable cap is exactly reference semantics.
+    np.testing.assert_array_equal(f0, np.asarray(res_inf.found))
+    np.testing.assert_array_equal(np.asarray(res0.x), np.asarray(res_inf.x))
+    # Capped solutions are valid (tolerance met), possibly farther from x0.
+    c1 = np.asarray(res1.cost)
+    assert np.all(c1[f0] <= base.tol_f * (1 + 1e-5))
+    d0 = np.linalg.norm(np.asarray(res0.x) - x0, axis=-1)
+    d1 = np.linalg.norm(np.asarray(res1.x) - x0, axis=-1)
+    assert np.all(d0[f0] <= d1[f0] + 1e-9)

@@ -401,3 +401,66 @@ def test_default_solver_schedule(robot, restarts, expect_phases):
     np.testing.assert_array_equal(np.asarray(got.found),
                                   np.asarray(got2.found))
     np.testing.assert_array_equal(np.asarray(got.x), np.asarray(got2.x))
+
+
+def test_quality_cap_packed_kernel(robot):
+    """quality_max_successes through the pose-packed kernel layout (the
+    block-diagonal group-sum): found must equal the uncapped kernel's."""
+    from optik_tpu.ops.pallas import lm_kernel
+
+    base = SolverConfig.create("quality", max_restarts=12, seed_batch=4,
+                               max_iters=32)
+    B = 16
+    tr, tt, x0 = make_problem(robot, B, seed=21)
+    f0 = lm_kernel.build_kernel_solver(robot.spec, base, p_blk=4,
+                                       interpret=True)
+    f1 = lm_kernel.build_kernel_solver(
+        robot.spec, base.replace(quality_max_successes=1), p_blk=4,
+        interpret=True)
+    r0 = f0(tr, tt, x0)
+    r1 = f1(tr, tt, x0)
+    np.testing.assert_array_equal(np.asarray(r0.found),
+                                  np.asarray(r1.found))
+    found = np.asarray(r0.found)
+    assert np.all(np.asarray(r1.cost)[found] <= base.tol_f * (1 + 1e-5))
+    d0 = np.linalg.norm(np.asarray(r0.x) - x0, axis=-1)
+    d1 = np.linalg.norm(np.asarray(r1.x) - x0, axis=-1)
+    assert np.all(d0[found] <= d1[found] + 1e-6)
+
+
+def test_default_cascade_success_floor(robot):
+    """The production 3-phase default schedule loses ZERO poses vs the
+    single-shot kernel at a production-shaped batch with realistic failure
+    rates (VERDICT r2 item 6: the TUNE4 sweep proved tail capacity can
+    silently trade success, so the default's floor is pinned here; the
+    on-device twin runs in tests/test_tpu.py).
+
+    The batch mixes ~99% random reachable poses (~0.3% screen-failure rate)
+    with 8 unreachable ones (translations far outside the workspace) so the
+    mid and final tails both receive genuine traffic.
+    """
+    from optik_tpu.solver import cascade
+    from optik_tpu.ops.pallas import lm_kernel
+
+    cfg = SolverConfig.create("speed", max_restarts=64, seed_batch=8,
+                              max_iters=32)
+    B = 2048
+    tr, tt, x0 = make_problem(robot, B, seed=33)
+    tt = tt.copy()
+    tt[::256] = tt[::256] + 10.0  # 8 unreachable poses, spread across tiles
+
+    solve, unit = cascade.build_default_solver(robot.spec, cfg,
+                                               interpret=True)
+    assert B % unit == 0
+    got = solve(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+
+    single = lm_kernel.build_kernel_solver(robot.spec, cfg, p_blk=256,
+                                           interpret=True)
+    ref = single(tr, tt, x0)
+
+    got_f = np.asarray(got.found)
+    ref_f = np.asarray(ref.found)
+    np.testing.assert_array_equal(got_f, ref_f)
+    assert not got_f[::256].any()          # unreachables failed everywhere
+    assert got_f.sum() >= (B - 8) * 0.99   # realistic success floor
+    assert np.all(np.asarray(got.cost)[got_f] <= cfg.tol_f * (1 + 1e-5))
