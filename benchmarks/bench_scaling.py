@@ -74,43 +74,62 @@ def main():
         }), flush=True)
 
     # Same weak-scaling series on the production throughput path: the
-    # cascade scheduler shard_mapped per pose shard (zero collectives).
-    # Interpret-mode on CPU/fake devices validates mechanics only.
+    # tuned 3-phase cascade shard_mapped per pose shard (zero collectives;
+    # parallel/mesh.build_sharded_cascade default schedule).  Interpret-mode
+    # on CPU/fake devices validates mechanics only.  The "devices": 0 row is
+    # the UNSHARDED default solver on the same single-device batch — the
+    # shard-count-1 sharded row against it measures shard_map overhead.
     interp = jax.devices()[0].platform not in ("tpu", "axon")
+    from optik_tpu.solver import cascade as cascade_mod
+
+    def timeit(solve, tr, tt, x0, iters=3):
+        res = solve(tr, tt, x0)
+        _ = int(jnp.sum(res.found.astype(jnp.int32)))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = solve(tr, tt, x0)
+            _ = int(jnp.sum(res.found.astype(jnp.int32)))
+        return (time.perf_counter() - t0) / iters, res
+
+    def emit(tag, n, B, rate, res, eff):
+        print(json.dumps({
+            "metric": tag, "devices": n, "value": round(rate, 1),
+            "unit": "solves/s", "efficiency": eff,
+            "success_rate": round(float(np.asarray(res.found).mean()), 4),
+            "batch": B, "interpret": interp,
+        }), flush=True)
+
+    per = 4096 if not interp else 32
     base_rate = None
     for n in counts:
         mesh = pmesh.make_mesh(jax.devices()[:n], data=n, seed=1)
-        per = 4096 if not interp else 32
         B = per * n
         qt = rng.uniform(lo, hi, size=(B, 7))
         tr, tt = robot.fk_batch(qt)
         tr = np.asarray(tr, np.float32)
         tt = np.asarray(tt, np.float32)
         x0 = rng.uniform(lo, hi, size=(B, 7)).astype(np.float32)
-        solve = pmesh.build_sharded_cascade(
-            robot, cfg, mesh, interpret=interp,
-            p_blk=512 if not interp else 8, p_blk2=256 if not interp else 8)
-        res = solve(tr, tt, x0)
-        _ = int(jnp.sum(res.found.astype(jnp.int32)))
-        t0 = time.perf_counter()
-        iters = 3
-        for _ in range(iters):
-            res = solve(tr, tt, x0)
-            _ = int(jnp.sum(res.found.astype(jnp.int32)))
-        dt = (time.perf_counter() - t0) / iters
+        if n == 1:
+            # Unsharded reference on the identical batch (overhead bound).
+            if interp:
+                ref, _u = cascade_mod.build_default_solver(
+                    robot.spec, cfg, dtype=robot.dtype, interpret=True,
+                    p_blk=8)
+            else:
+                ref, _u = cascade_mod.build_default_solver(
+                    robot.spec, cfg, dtype=robot.dtype)
+            dt, res = timeit(ref, jnp.asarray(tr), jnp.asarray(tt),
+                             jnp.asarray(x0))
+            emit("scaling_cascade_solves_per_s", 0, B, B / dt, res, None)
+        kw = {"p_blk": 8, "p_blk2": 8} if interp else {}
+        solve = pmesh.build_sharded_cascade(robot, cfg, mesh,
+                                            interpret=interp, **kw)
+        dt, res = timeit(solve, tr, tt, x0)
         rate = B / dt
         if base_rate is None:
             base_rate = rate
-        print(json.dumps({
-            "metric": "scaling_cascade_solves_per_s",
-            "devices": n,
-            "value": round(rate, 1),
-            "unit": "solves/s",
-            "efficiency": round(rate / (base_rate * n), 3),
-            "success_rate": round(float(np.asarray(res.found).mean()), 4),
-            "batch": B,
-            "interpret": interp,
-        }), flush=True)
+        emit("scaling_cascade_solves_per_s", n, B, rate, res,
+             round(rate / (base_rate * n), 3))
 
 
 if __name__ == "__main__":

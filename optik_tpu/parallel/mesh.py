@@ -97,7 +97,8 @@ def ik_sharded(robot, cfg: SolverConfig, tgt_r, tgt_t, x0,
 
 
 def build_sharded_cascade(robot, cfg: SolverConfig, mesh: Mesh, *,
-                          interpret: bool = False, **cascade_kw):
+                          interpret: bool = False, p_blk: int | None = None,
+                          **cascade_kw):
     """Cascade scheduler sharded over the mesh's ``data`` axis.
 
     The production throughput path on a pod: every chip runs the full
@@ -114,6 +115,13 @@ def build_sharded_cascade(robot, cfg: SolverConfig, mesh: Mesh, *,
     on each shard, so determinism is mesh-shape-invariant at fixed shard
     size.  Returns ``fn(tgt_r (B,3,3), tgt_t (B,3), x0 (B,A)) -> IKResult``
     with B divisible by ``data_axis * p_blk * pack``.
+
+    With no ``cascade_kw`` each shard runs the tuned 3-phase production
+    schedule (solver/cascade.build_default_solver — the same schedule the
+    single-chip bench path uses, ~20% over the 2-phase form on v5e,
+    artifacts/TUNE2_r02.jsonl), with ``p_blk`` as its optional screen-tile
+    override; explicit extra kwargs (tail_div etc.) select the 2-phase
+    ``build_cascade_solver`` with those knobs (tests use tiny tiles).
     """
     try:
         from jax import shard_map
@@ -122,8 +130,14 @@ def build_sharded_cascade(robot, cfg: SolverConfig, mesh: Mesh, *,
 
     from ..solver import cascade
 
-    local = cascade.build_cascade_solver(robot.spec, cfg, dtype=robot.dtype,
-                                         interpret=interpret, **cascade_kw)
+    if cascade_kw:
+        local = cascade.build_cascade_solver(
+            robot.spec, cfg, dtype=robot.dtype, interpret=interpret,
+            p_blk=p_blk or 256, **cascade_kw)
+    else:
+        local, _unit = cascade.build_default_solver(
+            robot.spec, cfg, dtype=robot.dtype, interpret=interpret,
+            p_blk=p_blk)
 
     def shard_fn(tr, tt, x0):
         res = local(tr, tt, x0)

@@ -343,27 +343,46 @@ class Robot:
 
     def ik(self, config: SolverConfig, target, x0, ee_offset=None
            ) -> Optional[Tuple[list, float]]:
-        """Single-pose IK; returns (solution, cost) or None (lib.rs:241-415)."""
+        """Single-pose IK; returns (solution, cost) or None (lib.rs:241-415).
+
+        On TPU this routes through the single-shot VMEM kernel (one pose
+        padded to one tile block; Speed-mode pose freezing exits the block
+        as soon as the pose converges, so the pad costs lane width, not
+        iterations) — the latency path SURVEY §7(e) calls for.  Elsewhere
+        it runs the XLA SoA solver at B=1.
+        """
         x0 = self._check_q(x0, "x0")
         self._check_seed_in_limits(x0)
         tgt_r, tgt_t = _parse_pose(target, self.dtype)
-        ee_r, ee_t = self._ee_offset(ee_offset)
-        fn = self._solver(config)
-        res = fn(tgt_r[None], tgt_t[None],
-                 jnp.asarray(x0, self.dtype)[None], ee_r, ee_t)
+        res = self.ik_batch(config, tgt_r[None], tgt_t[None],
+                            np.asarray(x0)[None], ee_offset=ee_offset,
+                            validate_seeds=False)
         if not bool(res.found[0]):
             return None
         return (list(np.asarray(res.x[0], dtype=np.float64)),
                 float(res.cost[0]))
 
     def ik_batch(self, config: SolverConfig, tgt_r, tgt_t, x0,
-                 ee_offset=None) -> ik_mod.IKResult:
+                 ee_offset=None, validate_seeds: bool = True
+                 ) -> ik_mod.IKResult:
         """Batched IK over B poses: (B,3,3), (B,3), (B,A) -> IKResult arrays.
 
-        Seeds outside the joint limits raise, as in the scalar path.
+        Seeds outside the joint limits raise, as in the scalar path
+        (lib.rs:251-254).  ``validate_seeds=False`` skips that check: with
+        device-resident ``x0`` the check costs a blocking one-boolean device
+        fetch per call, which serializes chained pipelines (each fetch is a
+        host round trip that drains the device queue — measured 16 solves'
+        worth of stalls inside the motion-planning workload's timed region).
+        Skipping is safe whenever the seeds are produced in-limits by
+        construction (e.g. a previous solve's clipped output, or
+        ``random_configuration``); an out-of-limits seed then merely wastes
+        its lane (the first LM step projects back into the box) instead of
+        raising.
         """
         lo, hi = self.joint_limits()
-        if isinstance(x0, jax.Array):
+        if not validate_seeds:
+            x0j = jnp.asarray(x0, self.dtype)
+        elif isinstance(x0, jax.Array):
             # Device-resident seeds: validate on device and fetch ONE
             # boolean — np.asarray here would pull the whole (B, A) array
             # across the wire (measured 149 ms/call on a relayed chip for
