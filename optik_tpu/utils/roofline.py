@@ -108,3 +108,113 @@ def utilization(lane_iters: float, seconds: float, flops_per_iter: float,
         out["vpu_peak_gflops_est"] = peak / 1e9
         out["vpu_util"] = achieved / peak
     return out
+
+
+# Estimated VPU issue slots per element for each primitive class.  The VPU
+# ALUs execute simple f32/i32 lanes ops in one pass; divides, roots and any
+# leftover libm-style transcendentals expand to multi-pass sequences.  These
+# weights are order-of-magnitude ESTIMATES for public TPU generations (no
+# per-op latency tables are published); the speed-of-light bound built from
+# them is explicitly a model, not a measurement — its role is to bound how
+# much headroom *could* remain, with the weights stated in the artifact.
+_VPU_PASSES = {
+    "div": 4.0, "sqrt": 4.0, "rsqrt": 2.0, "pow": 10.0,
+    "sin": 12.0, "cos": 12.0, "atan2": 25.0, "tan": 20.0,
+    "exp": 8.0, "log": 8.0, "tanh": 10.0, "logistic": 10.0,
+    "rem": 4.0, "erf": 12.0, "erf_inv": 16.0,
+    "integer_pow": 2.0,
+}
+
+# Primitives that do no per-element ALU work (layout/metadata only).
+_FREE = {
+    "broadcast_in_dim", "reshape", "squeeze", "transpose", "copy",
+    "convert_element_type", "bitcast_convert_type", "slice",
+    "dynamic_slice", "dynamic_update_slice", "concatenate", "iota",
+    "gather", "scatter", "rev", "pad",
+}
+
+
+def op_histogram(spec, cfg, dtype=None, b: int = 64,
+                 kernel_math: bool = True) -> dict:
+    """Per-lane-iteration VPU op counts of the LM loop, by primitive.
+
+    Walks the solver's jaxpr (each ``while`` body counted ONCE, like the
+    pre-optimization cost analysis in :func:`lane_iter_cost`) and
+    accumulates output-element counts per primitive.  With ``kernel_math``
+    the body is traced in kernel math mode (ops/soa.approx_atan2: atan2 and
+    sin/cos as polynomials) — the instruction mix the Pallas kernel
+    actually ships, leaving sqrt/rsqrt/div as the only multi-pass ops.
+
+    Returns {"per_lane_iter": {prim: ops}, "weighted_ops": N,
+    "flops_like": N, "lanes": b*s} — ``weighted_ops`` applies the
+    ``_VPU_PASSES`` estimates, the numerator of the speed-of-light bound.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import soa
+    from ..solver import ik as ik_mod
+
+    dtype = dtype or jnp.float32
+    s = min(cfg.seed_batch, cfg.total_restarts)
+    cpu = jax.devices("cpu")[0]
+    args = (
+        jax.ShapeDtypeStruct((b, 3, 3), dtype),
+        jax.ShapeDtypeStruct((b, 3), dtype),
+        jax.ShapeDtypeStruct((b, spec.num_positions), dtype),
+    )
+    import contextlib
+
+    ctx = soa.approx_atan2() if kernel_math else contextlib.nullcontext()
+    with jax.default_device(cpu), ctx:
+        fn = ik_mod.build_batch_solver(spec, cfg, dtype).__wrapped__
+        jaxpr = jax.make_jaxpr(fn)(*args)
+
+    import numpy as _np
+
+    counts: dict = {}
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            subs = [eqn.params[k] for k in
+                    ("jaxpr", "body_jaxpr", "cond_jaxpr", "call_jaxpr")
+                    if k in eqn.params]
+            subs.extend(eqn.params.get("branches", ()))
+            if subs:
+                for sub in subs:
+                    walk(sub.jaxpr if hasattr(sub, "jaxpr") else sub)
+                continue
+            name = eqn.primitive.name
+            if name in _FREE:
+                continue
+            n = sum(int(_np.prod(v.aval.shape)) for v in eqn.outvars
+                    if hasattr(v.aval, "shape"))
+            counts[name] = counts.get(name, 0) + n
+
+    walk(jaxpr.jaxpr)
+    lanes = float(b * s)
+    per_lane = {k: v / lanes for k, v in sorted(
+        counts.items(), key=lambda kv: -kv[1])}
+    weighted = sum(v * _VPU_PASSES.get(k, 1.0) for k, v in per_lane.items())
+    return {"per_lane_iter": per_lane, "weighted_ops": weighted,
+            "flops_like": sum(per_lane.values()), "lanes": lanes}
+
+
+def speed_of_light(weighted_ops_per_lane_iter: float,
+                   lane_iters_per_solve: float,
+                   device_kind: str) -> Optional[dict]:
+    """Model speed-of-light solve rate for this chip, and what it assumes.
+
+    SoL = VPU ops/s / (weighted ops per lane-iteration x lane-iterations
+    per solve).  Assumes perfect ALU packing (the 1-op/cycle convention of
+    :func:`vpu_peak_flops`; FMA-dense stretches could double it), zero
+    load/store stalls, and the _VPU_PASSES expansion estimates.  A solver
+    at >= ~50% of this bound has < 2x headroom under the model.
+    """
+    peak = vpu_peak_flops(device_kind)
+    if not peak or weighted_ops_per_lane_iter <= 0:
+        return None
+    per_solve = weighted_ops_per_lane_iter * lane_iters_per_solve
+    return {"sol_solves_per_s": peak / per_solve,
+            "weighted_ops_per_lane_iter": weighted_ops_per_lane_iter,
+            "lane_iters_per_solve": lane_iters_per_solve}
