@@ -28,10 +28,13 @@ run() {  # run <name> <timeout> <cmd...>
 
 for st in $STAGES; do
   case $st in
-    tests)     run tpu_tests 3600 env OPTIK_TPU_TESTS=1 \
+    tests)     run tpu_tests 5400 env OPTIK_TPU_TESTS=1 \
                    python -m pytest tests/test_tpu.py -q ;;
     bench)     run bench 2400 python bench.py ;;
+    profbench) OPTIK_PROFILE=artifacts/profile_$TAG \
+                   run bench 2400 python bench.py ;;
     workloads) run workloads 3600 python benchmarks/bench_workloads.py ;;
+    aux)       run aux 3600 python benchmarks/run_aux.py ;;
     scaling)   run scaling 2400 python benchmarks/bench_scaling.py ;;
     latency)   run latency 2400 python benchmarks/bench_latency.py ;;
     *)         echo "unknown stage: $st" ;;

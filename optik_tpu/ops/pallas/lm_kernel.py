@@ -45,6 +45,16 @@ from ...solver.lm_soa import lm_loop
 
 _ROWS = 8  # f32 tile sublane count: the physical row dimension of all lanes
 
+# Loop-body applications per while-loop condition check (bitwise-identical
+# results for any value; see solver/lm_soa.lm_loop unroll).  The condition
+# is a cross-lane all-reduce + scalar branch that Mosaic serializes against
+# the vector pipeline, so checking it every iteration taxes every iteration;
+# 2 recovers most of the win without doubling Mosaic compile time.
+# Env override for on-device sweeps: OPTIK_KERNEL_UNROLL.
+import os as _os
+
+DEFAULT_UNROLL = int(_os.environ.get("OPTIK_KERNEL_UNROLL", "2"))
+
 
 def fold_ee_offset(consts, ee_offset):
     """Compose a constant EE offset into the chain's synthetic tip joint.
@@ -73,7 +83,7 @@ def fold_ee_offset(consts, ee_offset):
 
 def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
                         p_blk: int = 256, interpret: bool = False,
-                        ee_offset=None):
+                        ee_offset=None, unroll: int | None = None):
     """Compile a Pallas-backed batched IK solver for one robot+config.
 
     Returns ``fn(tgt_r (B,3,3), tgt_t (B,3), x0 (B,A)) -> IKResult``.
@@ -101,6 +111,11 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
     hi_s = np.where(np.isfinite(spec.upper), spec.upper, np.pi)
     opts = ik_mod.options_from_config(cfg)
 
+    if unroll is None:
+        # Interpret-mode (CI) defaults to 1 to keep trace/compile time down;
+        # results are bitwise identical at any unroll (lm_loop docstring),
+        # and test_pallas pins that equivalence explicitly once.
+        unroll = 1 if interpret else DEFAULT_UNROLL
     r_total = cfg.total_restarts
     s = min(cfg.seed_batch, r_total)
     if _ROWS % s:
@@ -183,7 +198,8 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
             qx0=qx0,
             group_success_cap=(
                 cfg.quality_max_successes or None
-                if mode == SolutionMode.QUALITY else None))
+                if mode == SolutionMode.QUALITY else None),
+            unroll=unroll)
 
         for p in range(a):
             x_ref[p] = res.xs[p]

@@ -118,21 +118,70 @@ def sincos(x):
 
 
 # --- generic small linear algebra (unrolled at trace time) -----------------
+#
+# Static-sparsity-aware scalar ops: chain constants (joint origins, axes)
+# are plain Python floats, and for real robots most are exact 0/1 (Panda's
+# axes are all axis-aligned, origin rotations are signed permutations).
+# The XLA path would fold x*0 and x+0 in its algebraic simplifier, but the
+# Pallas kernel lowers the jaxpr to Mosaic DIRECTLY — no XLA optimization
+# pass ever sees it — so skipping dead terms at trace time is the only way
+# they stay out of the kernel (measured: ~27% of the LM body's ops were
+# static-zero products).  `0.0` results stay Python floats so the
+# sparsity propagates through the FK composition chain.
+
+
+def smul(a, b):
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return a * b
+    if isinstance(a, (int, float)):
+        a, b = b, a
+    if isinstance(b, (int, float)):
+        if b == 0.0:
+            return 0.0
+        if b == 1.0:
+            return a
+        if b == -1.0:
+            return -a
+    return a * b
+
+
+def sadd(a, b):
+    if isinstance(a, (int, float)) and a == 0.0:
+        return b
+    if isinstance(b, (int, float)) and b == 0.0:
+        return a
+    return a + b
+
+
+def ssub(a, b):
+    if isinstance(b, (int, float)) and b == 0.0:
+        return a
+    if isinstance(a, (int, float)) and a == 0.0:
+        return -b
+    return a - b
+
+
+def ssum(terms):
+    acc = 0.0
+    for t in terms:
+        acc = sadd(acc, t)
+    return acc
 
 
 def mat_mul(a: Mat, b: Mat) -> Mat:
     n, k, m = len(a), len(b), len(b[0])
-    return [[sum(a[i][p] * b[p][j] for p in range(k)) for j in range(m)]
-            for i in range(n)]
+    return [[ssum([smul(a[i][p], b[p][j]) for p in range(k)])
+             for j in range(m)] for i in range(n)]
 
 
 def mat_vec(a: Mat, v: Vec) -> Vec:
-    return [sum(a[i][j] * v[j] for j in range(len(v))) for i in range(len(a))]
+    return [ssum([smul(a[i][j], v[j]) for j in range(len(v))])
+            for i in range(len(a))]
 
 
 def mat_tvec(a: Mat, v: Vec) -> Vec:
     """a^T v."""
-    return [sum(a[j][i] * v[j] for j in range(len(a)))
+    return [ssum([smul(a[j][i], v[j]) for j in range(len(a))])
             for i in range(len(a[0]))]
 
 
@@ -141,25 +190,25 @@ def mat_t(a: Mat) -> Mat:
 
 
 def vec_add(u: Vec, v: Vec) -> Vec:
-    return [ui + vi for ui, vi in zip(u, v)]
+    return [sadd(ui, vi) for ui, vi in zip(u, v)]
 
 
 def vec_sub(u: Vec, v: Vec) -> Vec:
-    return [ui - vi for ui, vi in zip(u, v)]
+    return [ssub(ui, vi) for ui, vi in zip(u, v)]
 
 
 def vec_scale(u: Vec, s) -> Vec:
-    return [ui * s for ui in u]
+    return [smul(ui, s) for ui in u]
 
 
 def vec_dot(u: Vec, v: Vec):
-    return sum(ui * vi for ui, vi in zip(u, v))
+    return ssum([smul(ui, vi) for ui, vi in zip(u, v)])
 
 
 def vec_cross(u: Vec, v: Vec) -> Vec:
-    return [u[1] * v[2] - u[2] * v[1],
-            u[2] * v[0] - u[0] * v[2],
-            u[0] * v[1] - u[1] * v[0]]
+    return [ssub(smul(u[1], v[2]), smul(u[2], v[1])),
+            ssub(smul(u[2], v[0]), smul(u[0], v[2])),
+            ssub(smul(u[0], v[1]), smul(u[1], v[0]))]
 
 
 def cholesky_solve(a: Mat, b: Vec) -> Vec:
@@ -199,17 +248,28 @@ def cholesky_solve(a: Mat, b: Vec) -> Vec:
 
 
 def rodrigues(axis: Vec, angle) -> Mat:
-    """R = I + sin(q) K + (1-cos(q)) K^2 for a (static) unit axis."""
+    """R = I + sin(q) K + (1-cos(q)) K^2 for a (static) unit axis.
+
+    Built with static-sparsity ops: for the axis-aligned joints real
+    robots overwhelmingly use, six of the nine entries are static and the
+    matrix reduces to the classic 2-D rotation block at trace time.
+    """
     s, c = sincos(angle)
     c1 = 1.0 - c
     kx, ky, kz = axis
+
+    def diag(kk):  # 1 + c1 * (kk - 1) with kk = sum of squared others
+        if kk == 1.0:
+            return c  # axis-aligned: 1 - c1
+        return sadd(1.0, smul(c1, -kk))
+
+    def off(sk, ka, kb):  # sk * s + c1 * (ka * kb)
+        return sadd(smul(sk, s), smul(ka * kb, c1))
+
     return [
-        [1.0 + c1 * (-(ky * ky) - kz * kz), -s * kz + c1 * kx * ky,
-         s * ky + c1 * kx * kz],
-        [s * kz + c1 * kx * ky, 1.0 + c1 * (-(kx * kx) - kz * kz),
-         -s * kx + c1 * ky * kz],
-        [-s * ky + c1 * kx * kz, s * kx + c1 * ky * kz,
-         1.0 + c1 * (-(kx * kx) - ky * ky)],
+        [diag(ky * ky + kz * kz), off(-kz, kx, ky), off(ky, kx, kz)],
+        [off(kz, kx, ky), diag(kx * kx + kz * kz), off(-kx, ky, kz)],
+        [off(-ky, kx, kz), off(kx, ky, kz), diag(kx * kx + ky * ky)],
     ]
 
 
@@ -575,9 +635,11 @@ def residual_and_jtask(consts, q: Vec, tgt_r: Mat, tgt_t: Vec,
     for j in range(a):
         col = cols[j]
         for i in range(3):
-            jt[i][j] = (sum(jr[i][k] * col[k] for k in range(3))
-                        + sum(qq[i][k] * col[3 + k] for k in range(3)))
-            jt[3 + i][j] = sum(jr[i][k] * col[3 + k] for k in range(3))
+            jt[i][j] = sadd(
+                ssum([smul(jr[i][k], col[k]) for k in range(3)]),
+                ssum([smul(qq[i][k], col[3 + k]) for k in range(3)]))
+            jt[3 + i][j] = ssum([smul(jr[i][k], col[3 + k])
+                                 for k in range(3)])
 
     if weight6 is not None:
         e = mat_vec(weight6, e)

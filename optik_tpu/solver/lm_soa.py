@@ -73,7 +73,8 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
             group_size: Optional[int] = None,  # rows per pose along axis 0
             explore_full_budget: bool = False,
             qx0=None,               # A components: caller's seed (quality)
-            group_success_cap: Optional[int] = None
+            group_success_cap: Optional[int] = None,
+            unroll: int = 1
             ) -> LoopOut:
     """The lockstep LM loop on component lists (see module docstring).
 
@@ -83,6 +84,19 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
     min-seed-distance among them.  A pose with any success stays found, so
     the found mask is identical to the uncapped schedule; only the
     *selection pool* shrinks (documented semantic extension).
+
+    ``unroll``: apply the loop body ``unroll`` times per ``while``
+    iteration.  The schedule semantics are identical for any value —
+    stopped lanes hold their state through selects and all per-lane
+    budget checks live inside the body — but the loop condition (a
+    cross-lane all-reduce + scalar branch, which Mosaic serializes
+    against the vector pipeline) is paid ``unroll``x less often.  Costs:
+    up to ``unroll - 1`` no-op trailing iterations per block (still
+    counted in ``iters``: genuinely executed VPU work), and results may
+    differ from ``unroll=1`` by float rounding (the compiler contracts
+    the unrolled body differently), like any recompilation would.
+    Determinism holds per compiled program, which is what the contract
+    promises.
     """
     a = len(xs0)
     lane_shape = jnp.broadcast_shapes(*[jnp.shape(x) for x in xs0])
@@ -360,6 +374,14 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
                 success.astype(jnp.int32), it + 1,
                 cur_idx_next, it_next, pending_next.astype(jnp.int32), best,
                 succ_it, succ_cnt)
+
+    if unroll > 1:
+        body1 = body
+
+        def body(c):
+            for _ in range(unroll):
+                c = body1(c)
+            return c
 
     out = jax.lax.while_loop(cond, body, init)
     if track_best:

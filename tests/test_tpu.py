@@ -222,3 +222,32 @@ def test_ik_batch_routes_cascade(robot):
     found2, xs2, _ = _fetch(res2)
     np.testing.assert_array_equal(found, found2)
     np.testing.assert_array_equal(xs, xs2)
+
+
+def test_default_cascade_success_floor_on_device(robot):
+    """Production shape (16k batch), default 3-phase schedule: found mask
+    equals the single-shot kernel's exactly — the tail-capacity success
+    floor (VERDICT r2 item 6) pinned on the compiled Mosaic kernel.  A few
+    unreachable poses per tail guarantee the mid/final phases see traffic.
+    """
+    from optik_tpu.solver import cascade
+    from optik_tpu.ops.pallas import lm_kernel
+
+    cfg = SolverConfig.create("speed", max_restarts=64, seed_batch=8,
+                              max_iters=32)
+    B = 16384
+    tr, tt, x0 = make_problem(robot, B, seed=61)
+    tt = tt.copy()
+    tt[::1024] = tt[::1024] + 10.0  # 16 unreachable poses across tiles
+
+    solve, unit = cascade.build_default_solver(robot.spec, cfg)
+    assert B % unit == 0
+    got = solve(jnp.asarray(tr), jnp.asarray(tt), jnp.asarray(x0))
+    single = lm_kernel.build_kernel_solver(robot.spec, cfg, p_blk=256)
+    ref = single(tr, tt, x0)
+
+    got_f = np.asarray(got.found)
+    ref_f = np.asarray(ref.found)
+    np.testing.assert_array_equal(got_f, ref_f)
+    assert not got_f[::1024].any()
+    assert got_f.sum() >= (B - 16) * 0.99
