@@ -131,6 +131,7 @@ def main():
     lat_cold = []
     work = []  # executed lane-iterations per batch (device work counter)
     set_medians = []
+    set_pipe = []
     lat = []
     with prof:
         for _ in range(sets):
@@ -143,18 +144,36 @@ def main():
                     work.append(int(res.lane_iters))
                 lat_cold.append(time.perf_counter() - t1)
             set_lat = []
-            for tr, tt, x0 in batches:  # steady
+            for tr, tt, x0 in batches:  # steady, one sync per batch
                 t1 = time.perf_counter()
                 res = solve(tr, tt, x0)
                 _ = int(jnp.sum(res.found.astype(jnp.int32)))
                 set_lat.append(time.perf_counter() - t1)
             set_medians.append(float(np.median(set_lat)))
             lat.extend(set_lat)
+            # Steady PIPELINED: chain the whole set through a device-side
+            # accumulator, one scalar fetch at the end.  On the relayed
+            # chip the per-batch sync above costs a ~25-30 ms host round
+            # trip during which the device is idle (profiled: 94% device
+            # idle between solves, artifacts/profile_r03_summary_*), so
+            # the synced number measures the tunnel, not the engine.
+            # Pipelining is the deployment shape (the reference's own
+            # benchmark keeps its machine saturated, examples/example.py).
+            t1 = time.perf_counter()
+            acc = None
+            for tr, tt, x0 in batches:
+                res = solve(tr, tt, x0)
+                c = jnp.sum(res.found.astype(jnp.int32))
+                acc = c if acc is None else acc + c
+            _ = int(acc)  # single device->host fetch = the sync point
+            set_pipe.append((time.perf_counter() - t1) / iters)
     found = int(np.sum(counts))
     p50 = float(np.median(set_medians))
-    solves_per_s = B / p50
-    spread = float((np.max(set_medians) - np.min(set_medians))
-                   / np.median(set_medians))
+    p50_pipe = float(np.median(set_pipe))
+    solves_per_s = B / p50_pipe
+    synced_solves_per_s = B / p50
+    spread = float((np.max(set_pipe) - np.min(set_pipe))
+                   / np.median(set_pipe))
     success = found / (B * iters * sets)
 
     # Iterations-to-converge histogram (observability; VERDICT r1 item 9):
@@ -177,7 +196,7 @@ def main():
         if work:
             kind = jax.devices()[0].device_kind
             roof = roofline.utilization(
-                float(np.median(work)), p50, cost["flops"], kind)
+                float(np.median(work)), p50_pipe, cost["flops"], kind)
             roof["flops_per_lane_iter"] = round(cost["flops"], 1)
             roof["transcendentals_per_lane_iter"] = round(
                 cost["transcendentals"], 1)
@@ -215,7 +234,12 @@ def main():
         # timing-loop comment).
         "spread": round(spread, 4),
         "spread_alert": spread > 0.1,
+        # Per-batch-synced measurement (each solve pays one host round
+        # trip — on the relay that is tunnel latency, not engine time).
+        "synced_solves_per_s": round(synced_solves_per_s, 1),
         "set_medians_ms": [round(1e3 * m, 2) for m in set_medians],
+        "set_pipelined_ms": [round(1e3 * m, 2) for m in set_pipe],
+        "p50_pipelined_batch_ms": round(1e3 * p50_pipe, 2),
         "p50_batch_latency_ms": round(1e3 * p50, 2),
         "p90_batch_latency_ms": round(1e3 * float(np.percentile(lat, 90)),
                                       2),

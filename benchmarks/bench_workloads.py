@@ -27,9 +27,20 @@ import numpy as np
 
 def _sync(out):
     """Force completion: fetch one scalar (block_until_ready does not
-    reliably serialize on relayed platforms)."""
+    reliably serialize on relayed platforms).  One leaf suffices for the
+    outputs of a single execution."""
     leaf = jax.tree.leaves(out)[0]
     return np.asarray(leaf.ravel()[0])
+
+
+def _sync_all(tree):
+    """Fetch one scalar from EVERY array: required when the leaves come
+    from different executions/transfers — syncing only the first leaves
+    the rest (e.g. queued host->device input uploads) to complete inside
+    the timed region, which measured ~100 ms/chunk of hidden transfer
+    stall on the relay (r3 motion-planning workload)."""
+    for leaf in jax.tree.leaves(tree):
+        np.asarray(leaf.ravel()[0])
 
 
 def timed(fn):
@@ -151,7 +162,7 @@ def main():
         trc, ttc = panda.fk_batch(qt)
         x0c = jnp.asarray(rng.uniform(lo, hi, size=(chunk, 7)), jnp.float32)
         chunks.append((trc, ttc, x0c))
-    _sync(chunks)
+    _sync_all(chunks)
     t0 = time.perf_counter()
     count = jnp.zeros((), jnp.int32)
     for trc, ttc, x0c in chunks:

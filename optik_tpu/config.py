@@ -95,9 +95,14 @@ class SolverConfig:
     # among the full budget's successes.  0 preserves reference semantics
     # (lib.rs:398-408 always consumes the whole budget).  The reference has
     # no analog; this trades a bounded amount of solution quality (best-of-k
-    # vs best-of-all) for early pose freezing — the only Quality-mode
-    # throughput lever, since its per-pose work is otherwise uniform by
-    # construction (see solver/cascade.py docstring).
+    # vs best-of-all) for early pose freezing.
+    # MEASURED NEGATIVE on v5e (artifacts/workloads_r03.out, BASELINE
+    # config 2: 1k poses x 256 seeds): cap=8 -> 0.82x, cap=2 -> 0.77x of
+    # the uncapped 26.8k solves/s, with mean seed-distance regression
+    # 0.29/0.82 rad.  The per-iteration group success reduction costs more
+    # than tile-granularity freezing saves (a block only exits when every
+    # pose in the 128-wide tile caps out).  Kept for callers who want the
+    # bounded-quality semantics; not a throughput win on this hardware.
     quality_max_successes: int = 0
 
     def __post_init__(self):

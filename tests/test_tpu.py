@@ -237,7 +237,7 @@ def test_default_cascade_success_floor_on_device(robot):
                               max_iters=32)
     B = 16384
     tr, tt, x0 = make_problem(robot, B, seed=61)
-    tt = tt.copy()
+    tt = np.asarray(tt).copy()
     tt[::1024] = tt[::1024] + 10.0  # 16 unreachable poses across tiles
 
     solve, unit = cascade.build_default_solver(robot.spec, cfg)
