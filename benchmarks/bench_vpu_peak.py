@@ -43,11 +43,20 @@ def main():
 
     interp = jax.devices()[0].platform not in ("tpu", "axon")
     P = 512 if not interp else 128   # (8, 512) f32 = 4 vregs per array
-    N_IT = 2048 if not interp else 8  # loop iterations inside the kernel
+    # Kernel runtimes must dwarf the ~28 ms relay round trip per timed
+    # call (the r03 first attempt measured pure RTT): at plausible VPU
+    # rates these iteration counts give kernels of hundreds of ms.
+    N_IT = (1 << 21) if not interp else 8
     C = 8            # parallel state arrays
 
-    def run(name, body_fn, ops_per_iter, reps=5):
-        """body_fn: (list of C arrays) -> list of C arrays."""
+    def run(name, body_fn, ops_per_iter, n_it=None, reps=3, chain=4):
+        """body_fn: (list of C arrays) -> list of C arrays.
+
+        Times ``chain`` data-dependent kernel launches with ONE final
+        fetch, so the ~28 ms relay round trip amortizes over the chain
+        (a single launch measured pure RTT on the first attempt, r03).
+        """
+        n_it = n_it or N_IT
 
         def kernel(x_ref, o_ref):
             xs0 = tuple(x_ref[i] for i in range(C))
@@ -55,11 +64,9 @@ def main():
             def body(_, xs):
                 return tuple(body_fn(list(xs)))
 
-            out = jax.lax.fori_loop(0, N_IT, body, xs0)
-            acc = out[0]
-            for i in range(1, C):
-                acc = acc + out[i]
-            o_ref[...] = acc
+            out = jax.lax.fori_loop(0, n_it, body, xs0)
+            for i in range(C):
+                o_ref[i] = out[i]
 
         @jax.jit
         def go(x):
@@ -67,7 +74,7 @@ def main():
                 kernel,
                 in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((8, P), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((C, 8, P), jnp.float32),
                 interpret=interp,  # CPU: mechanics only, numbers meaningless
             )(x)
 
@@ -75,15 +82,17 @@ def main():
             np.random.default_rng(0).uniform(0.5, 1.0, (C, 8, P)),
             jnp.float32)
         r = go(x)
-        jax.block_until_ready(r)
+        _ = float(jnp.sum(r))
         lat = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            r = go(x)
-            _ = float(jnp.sum(r))
-            lat.append(time.perf_counter() - t0)
+            r = x
+            for _k in range(chain):
+                r = go(r)
+            _ = float(jnp.sum(r))  # one fetch syncs the whole chain
+            lat.append((time.perf_counter() - t0) / chain)
         dt = float(np.median(lat))
-        total_ops = ops_per_iter * 8 * P * N_IT
+        total_ops = ops_per_iter * 8 * P * n_it
         print(json.dumps({
             "metric": f"vpu_{name}_gops_per_s",
             "value": round(total_ops / dt / 1e9, 1), "unit": "Gop/s",

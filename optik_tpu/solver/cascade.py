@@ -150,6 +150,13 @@ def build_multiphase_solver(spec, cfg: SolverConfig, *, screens,
                                                       cfg.total_restarts)))
     units.append(unit_f)
 
+    # One jit over the whole cascade: phases, compaction and merges become
+    # a single device execution instead of ~7 chained dispatches — on a
+    # relayed chip each dispatch costs ~0.5-1 ms of host/queue overhead
+    # (profiled r03: 4.05 ms device-busy vs 9.5 ms pipelined wall per
+    # batch).  All shapes are static per B, so this compiles once per
+    # batch size like the phases themselves already did.
+    @jax.jit
     def solve(tgt_r, tgt_t, x0):
         stack = []  # (res_i, idx_into_parent) per screen
         tr, tt, xs = tgt_r, tgt_t, x0
