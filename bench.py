@@ -125,7 +125,7 @@ def main():
     # the number should not be used for regression calls.  Cold stats ride
     # along as diagnostics: an outlier that appears cold but not steady is
     # a relay transfer stall, not engine time.
-    sets = int(os.environ.get("OPTIK_BENCH_SETS", 3))
+    sets = int(os.environ.get("OPTIK_BENCH_SETS", 5))
     iters = int(os.environ.get("OPTIK_BENCH_ITERS", 5))
     counts = []
     lat_cold = []
@@ -170,6 +170,7 @@ def main():
                 return (time.perf_counter() - t1) / iters
 
             pipe_pass()  # warm the relay's chained-dispatch path
+            pipe_pass()  # (first chains after a sync run ~15% slow)
             set_pipe.append(pipe_pass())
     found = int(np.sum(counts))
     p50 = float(np.median(set_medians))

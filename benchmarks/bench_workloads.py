@@ -163,17 +163,27 @@ def main():
         x0c = jnp.asarray(rng.uniform(lo, hi, size=(chunk, 7)), jnp.float32)
         chunks.append((trc, ttc, x0c))
     _sync_all(chunks)
-    t0 = time.perf_counter()
-    count = jnp.zeros((), jnp.int32)
-    for trc, ttc, x0c in chunks:
-        out = solve(trc, ttc, x0c)
-        count = count + jnp.sum(out.found.astype(jnp.int32))
-    found = int(count)  # single device->host fetch = the sync point
-    dt = time.perf_counter() - t0
+    def sweep():
+        t0 = time.perf_counter()
+        count = jnp.zeros((), jnp.int32)
+        for trc, ttc, x0c in chunks:
+            out = solve(trc, ttc, x0c)
+            count = count + jnp.sum(out.found.astype(jnp.int32))
+        found = int(count)  # single device->host fetch = the sync point
+        return found, time.perf_counter() - t0
+
+    # Cold sweep: every chunk's first execution.  On the relay, first use
+    # of each input buffer pays ~60-100 ms of residency/queue work that a
+    # non-relayed production host does not (bench.py measures the same
+    # cold-vs-steady split per batch); the steady sweep re-solves the same
+    # 131k poses with buffers genuinely warm and is the headline.
+    found, dt_cold = sweep()
+    found, dt = sweep()
     n = chunk * n_chunks
     print(json.dumps({
         "metric": "motion_planning_solves_per_s",
         "value": round(n / dt, 1), "unit": "solves/s",
+        "cold_sweep_solves_per_s": round(n / dt_cold, 1),
         "success_rate": round(found / n, 4),
         "poses": n, "device": dev}))
 
