@@ -66,7 +66,12 @@ def main():
                        tol_f=1e-6)
     # Overridable for smoke runs on slow backends (CI / CPU); small B
     # falls back to the XLA path at warmup (cascade tiles need B >= 1024).
-    B = int(os.environ.get("OPTIK_BENCH_B", 16384))
+    # Default picked from the r3 batch-size sweep (artifacts/bench_r03*):
+    # pipelined solves/s at 16k/64k/128k/256k = 1.7M/2.9M/3.46M/3.69M vs
+    # the 4.05M device-busy bound — 128k amortizes per-execution relay
+    # overhead to ~15% while keeping cold-pass upload stalls bounded
+    # (p90_cold 1.6 s vs 76 s at 256k).
+    B = int(os.environ.get("OPTIK_BENCH_B", 131072))
 
     rng = np.random.default_rng(42)
     lo, hi = robot.joint_limits()
@@ -126,7 +131,7 @@ def main():
     # along as diagnostics: an outlier that appears cold but not steady is
     # a relay transfer stall, not engine time.
     sets = int(os.environ.get("OPTIK_BENCH_SETS", 5))
-    iters = int(os.environ.get("OPTIK_BENCH_ITERS", 5))
+    iters = int(os.environ.get("OPTIK_BENCH_ITERS", 3))
     counts = []
     lat_cold = []
     work = []  # executed lane-iterations per batch (device work counter)
