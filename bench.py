@@ -169,7 +169,11 @@ def main():
                 acc = None
                 for tr, tt, x0 in batches:
                     res = solve(tr, tt, x0)
-                    c = jnp.sum(res.found.astype(jnp.int32))
+                    # found_count is computed inside the solve program
+                    # (IKResult.found_count) — a separate sum would cost
+                    # one more queued execution per batch on the relay.
+                    c = res.found_count if res.found_count is not None \
+                        else jnp.sum(res.found.astype(jnp.int32))
                     acc = c if acc is None else acc + c
                 _ = int(acc)  # single device->host fetch = the sync point
                 return (time.perf_counter() - t1) / iters

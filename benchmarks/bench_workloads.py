@@ -168,7 +168,9 @@ def main():
         count = jnp.zeros((), jnp.int32)
         for trc, ttc, x0c in chunks:
             out = solve(trc, ttc, x0c)
-            count = count + jnp.sum(out.found.astype(jnp.int32))
+            c = out.found_count if out.found_count is not None \
+                else jnp.sum(out.found.astype(jnp.int32))
+            count = count + c
         found = int(count)  # single device->host fetch = the sync point
         return found, time.perf_counter() - t0
 

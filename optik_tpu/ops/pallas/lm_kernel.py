@@ -45,15 +45,15 @@ from ...solver.lm_soa import lm_loop
 
 _ROWS = 8  # f32 tile sublane count: the physical row dimension of all lanes
 
-# Loop-body applications per while-loop condition check (bitwise-identical
-# results for any value; see solver/lm_soa.lm_loop unroll).  The condition
-# is a cross-lane all-reduce + scalar branch that Mosaic serializes against
-# the vector pipeline, so checking it every iteration taxes every iteration;
-# 2 recovers most of the win without doubling Mosaic compile time.
-# Env override for on-device sweeps: OPTIK_KERNEL_UNROLL.
+# Loop-body applications per while-loop condition check (identical schedule
+# semantics for any value; see solver/lm_soa.lm_loop unroll).  MEASURED
+# NEUTRAL on v5e (artifacts/bench_r03i_unroll1.out: 3.48M solves/s at
+# unroll=1 vs 3.46M at 2, within noise) — Mosaic's loop-condition cost is
+# not significant — so the default is 1 (half the kernel compile time).
+# The knob stays for other chips/configs: OPTIK_KERNEL_UNROLL.
 import os as _os
 
-DEFAULT_UNROLL = int(_os.environ.get("OPTIK_KERNEL_UNROLL", "2"))
+DEFAULT_UNROLL = int(_os.environ.get("OPTIK_KERNEL_UNROLL", "1"))
 
 
 def fold_ee_offset(consts, ee_offset):
@@ -343,6 +343,8 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
         # Work accounting: every lane of a block runs its block's full loop
         # count, so total lane-iterations = sum over blocks x (rows*p_blk).
         lane_iters = jnp.sum(bit[0, ::p_blk]) * (rows * p_blk)
-        return out._replace(lane_iters=lane_iters)
+        return out._replace(
+            lane_iters=lane_iters,
+            found_count=jnp.sum(out.found.astype(jnp.int32)))
 
     return solve

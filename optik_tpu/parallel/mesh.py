@@ -144,11 +144,14 @@ def build_sharded_cascade(robot, cfg: SolverConfig, mesh: Mesh, *,
         li = res.lane_iters
         if li is not None:
             li = jax.lax.psum(li, "data")
-        return res._replace(lane_iters=li)
+        fc = res.found_count
+        if fc is not None:
+            fc = jax.lax.psum(fc, "data")
+        return res._replace(lane_iters=li, found_count=fc)
 
     pose = P("data")
     out_specs = ik_mod.IKResult(found=pose, x=pose, cost=pose, iters=pose,
-                                lane_iters=P())
+                                lane_iters=P(), found_count=P())
     # Replication checking must be off: pallas_call's out_shape structs do
     # not carry the varying-mesh-axes annotation the checker wants (the
     # kernel output is trivially per-shard anyway).

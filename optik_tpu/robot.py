@@ -447,11 +447,13 @@ class Robot:
             if res is not None:
                 if b_pad != b:
                     # Per-pose fields slice off the padding; the scalar
-                    # lane_iters work counter keeps the padded total.
+                    # lane_iters work counter keeps the padded total, and
+                    # found_count would include padded poses, so drop it.
                     res = res._replace(
                         found=res.found[:b], x=res.x[:b],
                         cost=res.cost[:b],
-                        iters=None if res.iters is None else res.iters[:b])
+                        iters=None if res.iters is None else res.iters[:b],
+                        found_count=None)
                 return res
 
         fn = self._solver(config)

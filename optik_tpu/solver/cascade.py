@@ -169,7 +169,10 @@ def build_multiphase_solver(spec, cfg: SolverConfig, *, screens,
         out = final(tr, tt, xs)
         for res, idx in reversed(stack):
             out = _merge(res, idx, out)
-        return out
+        # Device-side found count: chained callers fetch this instead of
+        # dispatching a separate per-batch sum (see IKResult.found_count).
+        return out._replace(
+            found_count=jnp.sum(out.found.astype(jnp.int32)))
 
     return solve
 

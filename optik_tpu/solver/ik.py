@@ -49,6 +49,12 @@ class IKResult(NamedTuple):
     # of every block/phase) — the exact work unit for roofline/utilization
     # accounting (utils/roofline.py).  None when not tracked.
     lane_iters: Optional[jnp.ndarray] = None
+    # Scalar count of found poses, computed INSIDE the solve program when
+    # available (cascade path).  Callers chaining many batches fetch/reduce
+    # this instead of dispatching a separate sum per batch — on a relayed
+    # device every extra execution costs ~2 ms of queue overhead.  None
+    # when the solve didn't compute it (or padding invalidated it).
+    found_count: Optional[jnp.ndarray] = None
 
 
 def options_from_config(cfg: SolverConfig) -> lm.LMOptions:
