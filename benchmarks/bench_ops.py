@@ -107,11 +107,11 @@ def main():
     dik = lambda: robot.diff_ik_batch(x0, v_we, v_max)
     results["diff_ik"] = timeit(dik, n=3) / 1  # per call
 
-    # ik batched (speed mode, default tolerance)
+    # ik batched (speed mode, default tolerance) through the public API
     cfg = SolverConfig(max_restarts=8, max_iters=48)
-    fn = robot._solver(cfg, False)
     Bik = 1024
-    ikt = lambda: fn(tr[:Bik], tt[:Bik], q[:Bik])
+    ikt = lambda: robot.ik_batch(cfg, tr[:Bik], tt[:Bik], q[:Bik],
+                                 validate_seeds=False)
     results["ik"] = timeit(ikt, n=3)
 
     lanes = {"fk": L, "objective": L, "gradient": L, "joint_jacobian": L,

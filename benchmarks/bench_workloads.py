@@ -142,7 +142,10 @@ def main():
     # --- config 5: 1M-pose motion-planning workload ----------------------
     cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=32)
     chunk = 8192
-    n_chunks = 16  # 131k poses here; scale n_chunks for the full 1M run
+    # 16 chunks = 131k poses by default; OPTIK_MP_CHUNKS=122 runs the full
+    # ~1M-pose sweep (999,424 poses).
+    import os as _os
+    n_chunks = int(_os.environ.get("OPTIK_MP_CHUNKS", 16))
     # validate_seeds=False: chunk seeds are uniform-in-limits by
     # construction, and the per-call device-bool fetch of the validation
     # would serialize the chunk pipeline (robot.ik_batch docstring).
