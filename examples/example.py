@@ -46,7 +46,9 @@ for start in range(0, N, B):
     tr, tt = robot.fk_batch(q_target)
 
     t0 = time.perf_counter()
-    res = robot.ik_batch(config, np.asarray(tr), np.asarray(tt), x0)
+    # fk_batch outputs are device-resident; hand them straight to ik_batch
+    # (a np.asarray round trip would pull them to host and re-upload).
+    res = robot.ik_batch(config, tr, tt, x0)
     found = np.asarray(res.found)
     tf = time.perf_counter()
 
