@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Differential-IK trajectory integration (port of kylc/optik
-examples/diff_ik.py — without the external Clarabel dependency: the QP runs
-on the built-in batched ADMM solver).
+examples/diff_ik.py — without the external Clarabel dependency: the LP is
+solved exactly by the closed-form zonotope-gauge solver, solver/gauge.py).
 
 Tracks a constant world-frame end-effector velocity under joint velocity
 limits, integrating q forward with explicit Euler.

@@ -9,7 +9,7 @@ commanded ray.
 
 Here the sweep is what it should be on a batch machine: the four limit
 settings are four lanes of one ``diff_ik_batch`` call (same state, same
-command), solved simultaneously by the vmapped ADMM QP, and the scaling
+command), solved simultaneously by the closed-form zonotope-gauge solver (solver/gauge.py), and the scaling
 contract is asserted on the whole batch at once.
 
 Usage:

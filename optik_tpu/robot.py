@@ -21,7 +21,8 @@ are convenience wrappers (one compile each, then O(100us) dispatch).
 from __future__ import annotations
 
 import warnings
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple, Union
+
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,12 @@ from .models.chain import ChainSpec
 from .ops import kinematics as K
 from .solver import ik as ik_mod
 from .utils.precision import with_f32_matmuls
+
+# Public-surface array annotations (reference parity: optik.pyi:9-49 types
+# every signature; here the accepted inputs are anything array-convertible
+# and returns are device arrays for batched entry points, numpy/lists for
+# the scalar reference-compatible ones).
+ArrayLike = Union[np.ndarray, jax.Array, "list", "tuple"]
 
 
 def _default_dtype():
@@ -182,7 +189,8 @@ class Robot:
     # --- constructors -----------------------------------------------------
 
     @staticmethod
-    def from_urdf_file(path, base_link: str, ee_link: str,
+    def from_urdf_file(path: "str | __import__('os').PathLike",
+                       base_link: str, ee_link: str,
                        dtype=None) -> "Robot":
         return Robot(ChainSpec.from_urdf_file(path, base_link, ee_link),
                      dtype=dtype)
@@ -229,7 +237,8 @@ class Robot:
             return None, None
         return _parse_pose(ee_offset, self.dtype)
 
-    def fk(self, x, ee_offset=None) -> np.ndarray:
+    def fk(self, x: ArrayLike,
+           ee_offset: Optional[ArrayLike] = None) -> np.ndarray:
         """EE pose as a 4x4 row-major matrix (optik-py/src/lib.rs:103-115)."""
         x = self._check_q(x, "x")
         ee_r, ee_t = self._ee_offset(ee_offset)
@@ -277,7 +286,9 @@ class Robot:
         self._fk_batch_cache = fn
         return fn
 
-    def fk_batch(self, x, ee_offset=None):
+    def fk_batch(self, x: ArrayLike,
+                 ee_offset: Optional[ArrayLike] = None
+                 ) -> Tuple[jax.Array, jax.Array]:
         """Batched EE poses: (..., A) -> ((..., 3, 3), (..., 3)) on device.
 
         Computes on the SoA fast path (batch-in-lanes layout) and packs the
@@ -287,7 +298,9 @@ class Robot:
         ee_r, ee_t = self._ee_offset(ee_offset)
         return self._fk_batch_fn()(x, ee_r, ee_t)
 
-    def joint_jacobian(self, x, ee_offset=None) -> np.ndarray:
+    def joint_jacobian(self, x: ArrayLike,
+                       ee_offset: Optional[ArrayLike] = None
+                       ) -> np.ndarray:
         """Local-frame geometric Jacobian (6, N) (optik-py/src/lib.rs:91-101)."""
         x = self._check_q(x, "x")
         ee_r, ee_t = self._ee_offset(ee_offset)
@@ -321,7 +334,8 @@ class Robot:
         self._jac_batch_cache = fn
         return fn
 
-    def jacobian_batch(self, x, ee_offset=None):
+    def jacobian_batch(self, x: ArrayLike,
+                       ee_offset: Optional[ArrayLike] = None) -> jax.Array:
         """Batched local-frame Jacobians: (..., A) -> (..., 6, A)."""
         x = jnp.asarray(x, self.dtype)
         ee_r, ee_t = self._ee_offset(ee_offset)
@@ -341,8 +355,9 @@ class Robot:
         if np.any(x0 < lo) or np.any(x0 > hi):
             raise ValueError("seed joint position outside of joint limits")
 
-    def ik(self, config: SolverConfig, target, x0, ee_offset=None
-           ) -> Optional[Tuple[list, float]]:
+    def ik(self, config: SolverConfig, target: ArrayLike, x0: ArrayLike,
+           ee_offset: Optional[ArrayLike] = None
+           ) -> Optional[Tuple[List[float], float]]:
         """Single-pose IK; returns (solution, cost) or None (lib.rs:241-415).
 
         On TPU this routes through the single-shot VMEM kernel (one pose
@@ -350,6 +365,14 @@ class Robot:
         as soon as the pose converges, so the pad costs lane width, not
         iterations) — the latency path SURVEY §7(e) calls for.  Elsewhere
         it runs the XLA SoA solver at B=1.
+
+        Numerical note: the TPU kernel evaluates atan2/sin/cos as
+        f32-accurate polynomials (~1e-7 abs error, ops/soa.py kernel math
+        mode), so found-ness of *marginal* poses (cost within ~1e-7 of
+        tol_f) can differ from the exact-libm XLA path other platforms
+        run.  Callers needing cross-platform bitwise reproducibility can
+        force the XLA path by running with JAX_PLATFORMS=cpu or using
+        ``solver.ik.build_batch_solver`` directly.
         """
         x0 = self._check_q(x0, "x0")
         self._check_seed_in_limits(x0)
@@ -362,8 +385,76 @@ class Robot:
         return (list(np.asarray(res.x[0], dtype=np.float64)),
                 float(res.cost[0]))
 
-    def ik_batch(self, config: SolverConfig, tgt_r, tgt_t, x0,
-                 ee_offset=None, validate_seeds: bool = True
+    def _ik_batch_unlimited(self, config: SolverConfig, tgt_r, tgt_t, x0,
+                            ee_offset, validate_seeds) -> ik_mod.IKResult:
+        """Honest unlimited-restart semantics for ``max_restarts=0``.
+
+        The reference restarts until the wall clock expires
+        (lib.rs:273-277); the deterministic analog runs rounds of
+        DEFAULT_RESTARTS seeds, each round re-solving ONLY the unconverged
+        poses with the next slice of the fold_in restart stream
+        (restart indices r*R .. r*R + R - 1), until every pose converges
+        or ``config.unlimited_rounds_cap`` rounds have run.  Per-pose
+        results are batch-size- and round-boundary-invariant: a pose's
+        outcome depends only on its own restart stream.
+        """
+        from .config import DEFAULT_RESTARTS
+
+        base = config.replace(max_restarts=DEFAULT_RESTARTS)
+        res = self.ik_batch(base, tgt_r, tgt_t, x0, ee_offset=ee_offset,
+                            validate_seeds=validate_seeds)
+        found = np.asarray(res.found).copy()
+        cap = max(1, config.unlimited_rounds_cap)
+        if found.all() or cap == 1:
+            return res
+
+        tgt_r_np, tgt_t_np = np.asarray(tgt_r), np.asarray(tgt_t)
+        x0_np = np.asarray(x0)
+        x = np.asarray(res.x).copy()
+        cost = np.asarray(res.cost).copy()
+        iters = None if res.iters is None else np.asarray(res.iters).copy()
+        lane_iters = res.lane_iters
+        for r in range(1, cap):
+            bad = np.flatnonzero(~found)
+            if bad.size == 0:
+                break
+            # Pad the hard-pose set to a power-of-two bucket (by repeating
+            # its last index) so rounds reuse a bounded set of compiled
+            # batch shapes; duplicate rows are dropped at the merge.
+            n_real = bad.size
+            bucket = 1 << (n_real - 1).bit_length()
+            if bucket > n_real:
+                bad = np.concatenate(
+                    [bad, np.full(bucket - n_real, bad[-1])])
+            sub = self.ik_batch(base, tgt_r_np[bad], tgt_t_np[bad],
+                                x0_np[bad], ee_offset=ee_offset,
+                                validate_seeds=False,
+                                _restart_offset=r * DEFAULT_RESTARTS)
+            bad = bad[:n_real]
+            ok = np.asarray(sub.found)[:n_real]
+            sub = sub._replace(
+                found=sub.found[:n_real], x=sub.x[:n_real],
+                cost=sub.cost[:n_real],
+                iters=None if sub.iters is None else sub.iters[:n_real])
+            idx = bad[ok]
+            x[idx] = np.asarray(sub.x)[ok]
+            cost[idx] = np.asarray(sub.cost)[ok]
+            if iters is not None and sub.iters is not None:
+                iters[idx] = np.asarray(sub.iters)[ok]
+            found[idx] = True
+            if lane_iters is not None and sub.lane_iters is not None:
+                lane_iters = lane_iters + sub.lane_iters
+        return ik_mod.IKResult(
+            found=jnp.asarray(found), x=jnp.asarray(x, self.dtype),
+            cost=jnp.asarray(cost, self.dtype),
+            iters=None if iters is None else jnp.asarray(iters),
+            lane_iters=lane_iters)
+
+    def ik_batch(self, config: SolverConfig, tgt_r: ArrayLike,
+                 tgt_t: ArrayLike, x0: ArrayLike,
+                 ee_offset: Optional[ArrayLike] = None,
+                 validate_seeds: bool = True,
+                 _restart_offset: Optional[int] = None
                  ) -> ik_mod.IKResult:
         """Batched IK over B poses: (B,3,3), (B,3), (B,A) -> IKResult arrays.
 
@@ -378,7 +469,13 @@ class Robot:
         ``random_configuration``); an out-of-limits seed then merely wastes
         its lane (the first LM step projects back into the box) instead of
         raising.
+
+        ``config.max_restarts == 0`` engages unlimited-restart rounds
+        (see :meth:`_ik_batch_unlimited`).
         """
+        if config.max_restarts == 0 and _restart_offset is None:
+            return self._ik_batch_unlimited(config, tgt_r, tgt_t, x0,
+                                            ee_offset, validate_seeds)
         lo, hi = self.joint_limits()
         if not validate_seeds:
             x0j = jnp.asarray(x0, self.dtype)
@@ -415,7 +512,10 @@ class Robot:
         # single-shot.
         ee_pair = None if ee_offset is None else (ee_r, ee_t)
         kentry = None
-        if tgt_r.shape[0] >= 1024:
+        # Unlimited-restart continuation rounds use the single-shot kernel:
+        # the cascade's screen phases don't thread the stream offset, and
+        # round > 0 batches are the compacted hard poses anyway.
+        if tgt_r.shape[0] >= 1024 and _restart_offset is None:
             kentry = self._cascade_solver(config, ee_pair)
         if kentry is None:
             kentry = self._kernel_solver(config, ee_pair)
@@ -440,7 +540,11 @@ class Robot:
                 # Mosaic compiles lazily at first execution, so build
                 # success does not guarantee the kernel runs on this
                 # platform; fall back to XLA on failure (with a warning).
-                res = kfn(tgt_r_p, tgt_t_p, x0_p)
+                if _restart_offset is None:
+                    res = kfn(tgt_r_p, tgt_t_p, x0_p)
+                else:
+                    res = kfn(tgt_r_p, tgt_t_p, x0_p,
+                              restart_offset=_restart_offset)
             except (RuntimeError, NotImplementedError, ValueError) as exc:
                 self._kernel_fallback(exc, "execution")
                 res = None
@@ -457,19 +561,33 @@ class Robot:
                 return res
 
         fn = self._solver(config)
-        return fn(tgt_r, tgt_t, x0j, ee_r, ee_t)
+        if _restart_offset is None:
+            return fn(tgt_r, tgt_t, x0j, ee_r, ee_t)
+        return fn(tgt_r, tgt_t, x0j, ee_r, ee_t,
+                  restart_offset=_restart_offset)
 
     # --- differential IK --------------------------------------------------
 
-    def diff_ik(self, x0, V_WE, v_max, ee_offset=None
-                ) -> Optional[Tuple[float, list]]:
+    def _diffik_solver(self):
+        """Cached batched diff-IK step (exact gauge path when available)."""
+        cached = getattr(self, "_diffik_cache", None)
+        if cached is None:
+            from .solver import diffik
+
+            cached = (diffik.build_batch_solver(self.spec, self.dtype),)
+            self._diffik_cache = cached
+        return cached[0]
+
+    def diff_ik(self, x0: ArrayLike, V_WE: ArrayLike, v_max: ArrayLike,
+                ee_offset: Optional[ArrayLike] = None
+                ) -> Optional[Tuple[float, List[float]]]:
         """Velocity-limited diff-IK step (lib.rs:101-239).
 
         Maximizes the scaling alpha in [0, 1] such that J_W(q) v = alpha*V_WE
         with |v_i| <= v_max_i; returns (alpha, v) or None on solver failure.
+        Routes through the batched solver at B=1 (the gauge computation is
+        element-wise over lanes, so scalar and batch results are identical).
         """
-        from .solver import diffik
-
         x0 = self._check_q(x0, "x0")
         v_we = np.asarray(V_WE, dtype=np.float64)
         if v_we.shape != (6,):
@@ -477,24 +595,29 @@ class Robot:
         v_max = np.asarray(v_max, dtype=np.float64)
         if v_max.shape != (self.num_positions(),):
             raise ValueError("len(v_max) != num_positions")
-        ee_r, ee_t = self._ee_offset(ee_offset)
-        alpha, v, ok = diffik.diff_ik_one(
-            self.params, jnp.asarray(x0, self.dtype),
-            jnp.asarray(v_we, self.dtype), jnp.asarray(v_max, self.dtype),
-            ee_r, ee_t)
-        if not bool(ok):
+        alpha, v, ok = self.diff_ik_batch(x0[None], v_we[None], v_max[None],
+                                          ee_offset=ee_offset)
+        if not bool(ok[0]):
             return None
-        return float(alpha), list(np.asarray(v, dtype=np.float64))
+        return (float(alpha[0]),
+                list(np.asarray(v[0], dtype=np.float64)))
 
-    def diff_ik_batch(self, x0, V_WE, v_max, ee_offset=None):
+    def diff_ik_batch(self, x0: ArrayLike, V_WE: ArrayLike,
+                      v_max: ArrayLike,
+                      ee_offset: Optional[ArrayLike] = None
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Batched diff-IK: (B,A), (B,6), (B,A) -> (alpha (B,), v (B,A), ok (B,))."""
         from .solver import diffik
 
         ee_r, ee_t = self._ee_offset(ee_offset)
-        return diffik.diff_ik_batch(
-            self.params,
-            jnp.asarray(x0, self.dtype), jnp.asarray(V_WE, self.dtype),
-            jnp.asarray(v_max, self.dtype), ee_r, ee_t)
+        x0 = jnp.asarray(x0, self.dtype)
+        v_we = jnp.asarray(V_WE, self.dtype)
+        v_max = jnp.asarray(v_max, self.dtype)
+        fn = self._diffik_solver()
+        if fn is not None:
+            return fn(x0, v_we, v_max, ee_r, ee_t)
+        return diffik.diff_ik_admm_batch(self.params, x0, v_we, v_max,
+                                         ee_r, ee_t)
 
 
 @with_f32_matmuls

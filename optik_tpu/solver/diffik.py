@@ -1,4 +1,4 @@
-"""Differential IK: velocity-limited Cartesian tracking as a batched QP.
+"""Differential IK: velocity-limited Cartesian tracking, solved exactly.
 
 Parity target: kylc/optik ``Robot::diff_ik`` (lib.rs:101-239), which solves
 
@@ -7,25 +7,28 @@ Parity target: kylc/optik ``Robot::diff_ik`` (lib.rs:101-239), which solves
             -v_max <= v <= v_max           (... within joint velocity limits)
             J_W(q) v = alpha * V_WE        (... along the commanded direction)
 
-as a Clarabel conic LP.  Here it is one lane of the batched ADMM QP solver
-(solver/qp.py): decision vector x = [v; alpha], a tiny Tikhonov term
-(1e-9 |v|^2) makes P positive definite for ADMM without measurably moving the
-LP optimum.  The alpha reward is -1, NOT the reference's -100 (lib.rs:206):
-for an LP any negative coefficient yields the same argmax, the -100 is a
-Clarabel-era scaling, and it inflates the equality duals by 100x — enough
-to stall f32 ADMM below the success tolerance on loosely-constrained
-states (measured: v_max=10 on the Panda fails at -100, converges to
-alpha=1.0 exactly at -1).  The local-frame Jacobian is rotated into the
-world frame exactly as lib.rs:184-189 does.
+as a Clarabel conic LP.  The primary path here is the **exact zonotope
+gauge solver** (solver/gauge.py): the LP's optimum is the exit point of the
+ray {alpha * V} through the zonotope J_W([-v_max, v_max]), computed in
+closed form by enumerating C(n, 5) facet-normal cuts — a fixed, unrolled,
+SoA-element-wise computation with no iterations at all.  FK, the world
+Jacobian, and the solve trace into ONE jitted program on the SoA layout
+(ops/soa.py), the same representation that took IK to the VPU
+speed-of-light; the round-3 ADMM formulation (solver/qp.py) remains as the
+fallback for joint counts outside the exact path's range and as an
+independent test oracle.
 
-Returns (alpha, v, ok).  The returned iterate is PROJECTED onto the box
-constraints (v clipped to +-v_max, alpha to [0, 1]) — a zero-cost exact
-feasibility step, so the reference's bound contracts (alpha in [0,1]+-1e-6,
-|v_i| <= v_max + 1e-6, test_ik.rs:200-205) hold by construction.  ``ok``
-mirrors Clarabel's Solved status and gates on what remains after the
-projection: the Cartesian tracking residual |J_W v - alpha V_WE| (primal)
-and the KKT stationarity residual (optimality — this is what catches an
-unconverged ADMM that parked at a feasible but suboptimal alpha).
+The local-frame Jacobian is rotated into the world frame exactly as
+lib.rs:184-189 does (for the SoA path this folds to computing the
+world-frame geometric columns directly: R_WE @ (R_WE^T lin_w) = lin_w).
+
+Returns (alpha, v, ok).  v is feasible BY CONSTRUCTION: boundary-facet
+coordinates are clipped to the unit box and scaled by alpha / t <= 1, so
+the reference's bound contracts (alpha in [0,1] +- 1e-6, |v_i| <= v_max +
+1e-6, test_ik.rs:200-205) hold exactly.  ``ok`` mirrors Clarabel's Solved
+status via the Cartesian tracking residual |J_W v - alpha V| — the honest
+gate that catches every degenerate-geometry corner the closed form can
+round through (rank-deficient J, V outside the reachable cone).
 """
 
 from __future__ import annotations
@@ -36,19 +39,112 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import kinematics as K
-from . import qp
+from ..ops import soa
+from . import gauge, qp
 from ..utils.precision import with_f32_matmuls
 
-# Success thresholds (see module docstring).  Tracking: the behavioral
-# contract asserts J_W v == alpha V_WE at 1e-5 (reference example + tests);
-# polish typically leaves ~1e-8, but f32 cholesky rounding under vmap can
-# reach ~3e-6 on marginal lanes, so the gate sits at the contract, not at
-# the typical case.  Stationarity: with the -1 reward the duals are O(1),
-# and an unconverged lane shows dr >> 1e-2 (measured 0.87).
+# Success gate: the behavioral contract asserts J_W v == alpha V at 1e-5
+# (reference example + tests).  The residual is judged relative to the
+# command magnitude (an absolute gate would spuriously fail large-|V|
+# commands in f32).
 _TRACK_TOL = 1e-5
+
+# ADMM fallback constants (see the round-3 module history in git for the
+# full derivation; -100 breaks f32 dual scaling, hence reward -1).
 _STAT_TOL = 1e-3
 _REG = 1e-9
-_ALPHA_REWARD = -1.0  # see module docstring: -100 breaks f32 dual scaling
+_ALPHA_REWARD = -1.0
+
+
+def _jacobian_cols_world(consts, frames, t_ee):
+    """World-frame geometric Jacobian columns (6-lists: linear, angular).
+
+    Reference contract: J_W = blockdiag(R_WE) @ J_local (lib.rs:184-189);
+    since J_local = blockdiag(R_WE^T) @ J_world (kinematics.rs:179-180)
+    this is just the world-frame geometric Jacobian, computed directly.
+    """
+    axes, pris = consts[2], consts[3]
+    cols = []
+    for j, (rj, pj) in enumerate(frames):
+        dir_w = soa.mat_vec(rj, axes[j])
+        if pris[j]:
+            cols.append(list(dir_w) + [0.0, 0.0, 0.0])
+        else:
+            lin_w = soa.vec_cross(dir_w, soa.vec_sub(t_ee, pj))
+            cols.append(list(lin_w) + list(dir_w))
+    return cols
+
+
+def build_batch_solver(spec, dtype):
+    """Compile the batched diff-IK step for one robot.
+
+    Returns ``fn(x0 (B,A), v_we (B,6), v_max (B,A), ee_r, ee_t) ->
+    (alpha (B,), v (B,A), ok (B,))``.  Routes the exact gauge solver for
+    5 <= n <= 8 joints (C(n,5) facet cuts unroll at trace time), the ADMM
+    path otherwise.
+    """
+    n = spec.num_positions
+    if not (gauge.MIN_EXACT_N <= n <= gauge.MAX_EXACT_N):
+        return None  # caller falls back to the ADMM path
+
+    consts = soa.chain_constants(spec)
+
+    @with_f32_matmuls
+    @jax.jit
+    def solve(x0, v_we, v_max, ee_r=None, ee_t=None):
+        qs = [x0[:, j] for j in range(n)]
+        eem = eev = None
+        if ee_r is not None:
+            eem = [[ee_r[i, j] for j in range(3)] for i in range(3)]
+            eev = [ee_t[i] for i in range(3)]
+        frames, _r_ee, t_ee = soa.fk_with_ee(consts, qs, eem, eev)
+        cols = _jacobian_cols_world(consts, frames, t_ee)
+
+        v = [v_we[:, k] for k in range(6)]
+        vm = [v_max[:, j] for j in range(n)]
+        gens = [[vm[j] * cols[j][k] for k in range(6)] for j in range(n)]
+
+        t, u = gauge.gauge_solve(gens, v)
+
+        finite = jnp.isfinite(t)
+        t_f = jnp.where(finite, t, 1.0)
+        alpha = jnp.where(finite, jnp.minimum(t_f, 1.0), 0.0)
+        # Scale the boundary point back to alpha: star-shaped + symmetric
+        # box => (alpha/t) * u stays in the box and tracks alpha * V.
+        scale = jnp.where(finite, alpha / jnp.maximum(t_f, gauge._TINY), 0.0)
+        vel = [vm[j] * u[j] * scale for j in range(n)]
+
+        # V ~ 0: any alpha works with v = 0; the reference LP returns its
+        # maximum, alpha = 1 (Clarabel: the equality rows vanish).
+        vmag = soa.ssum([jnp.abs(c) for c in v])
+        null_v = vmag < 1e-30
+        alpha = jnp.where(null_v, 1.0, alpha)
+        vel = [jnp.where(null_v, 0.0, vj) for vj in vel]
+
+        # Honest success gate: Cartesian tracking of the *returned* v.
+        track = [soa.ssum([vel[j] * cols[j][k] for j in range(n)])
+                 - alpha * v[k] for k in range(6)]
+        tmax = jnp.abs(track[0])
+        for k in range(1, 6):
+            tmax = jnp.maximum(tmax, jnp.abs(track[k]))
+        vinf = jnp.abs(v[0])
+        for k in range(1, 6):
+            vinf = jnp.maximum(vinf, jnp.abs(v[k]))
+        # No reliable facet cut with a nonzero command => the enumeration
+        # cannot certify the geometry (rank-deficient J with V in its
+        # range — see gauge.py d_floor); report failure, like Clarabel's
+        # non-Solved statuses do (lib.rs:230-238).
+        ok = (tmax < _TRACK_TOL * (1.0 + vinf)) & jnp.isfinite(alpha) \
+            & (finite | null_v)
+        for vj in vel:
+            ok = ok & jnp.isfinite(vj)
+
+        return alpha, jnp.stack(vel, axis=-1), ok
+
+    return solve
+
+
+# --- ADMM fallback path (round-3 formulation; also the test oracle) --------
 
 
 def _build_qp(params: K.ChainParams, x0, v_we, v_max, ee_r, ee_t):
@@ -78,20 +174,8 @@ def _build_qp(params: K.ChainParams, x0, v_we, v_max, ee_r, ee_t):
     return p, qv, a, l, u
 
 
-def diff_ik_one(params: K.ChainParams, x0, v_we, v_max,
-                ee_r: Optional[jnp.ndarray] = None,
-                ee_t: Optional[jnp.ndarray] = None
-                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single diff-IK step: returns (alpha, v (A,), ok)."""
-    return _diff_ik_jit(params, x0, v_we, v_max, ee_r, ee_t)
-
-
 def _finalize(a, v_max, sol, n):
-    """Project onto the box, then judge success on one problem (vmap-able).
-
-    v -> clip(+-v_max), alpha -> clip([0, 1]); tracking = |[J_W|-V] x|_inf
-    on the projected point; stationarity = final KKT dual residual.
-    """
+    """Project onto the box, then judge success on one problem (vmap-able)."""
     v = jnp.clip(sol.x[:n], -v_max, v_max)
     alpha = jnp.clip(sol.x[n], 0.0, 1.0)
     xc = jnp.concatenate([v, alpha[None]])
@@ -103,7 +187,7 @@ def _finalize(a, v_max, sol, n):
 
 @with_f32_matmuls
 @jax.jit
-def _diff_ik_jit(params, x0, v_we, v_max, ee_r, ee_t):
+def _diff_ik_admm_one(params, x0, v_we, v_max, ee_r, ee_t):
     p, qv, a, l, u = _build_qp(params, x0, v_we, v_max, ee_r, ee_t)
     sol = qp.solve(p, qv, a, l, u)
     return _finalize(a, v_max, sol, params.num_positions)
@@ -111,8 +195,8 @@ def _diff_ik_jit(params, x0, v_we, v_max, ee_r, ee_t):
 
 @with_f32_matmuls
 @jax.jit
-def diff_ik_batch(params, x0, v_we, v_max, ee_r=None, ee_t=None):
-    """Batched diff-IK: (B, A), (B, 6), (B, A) -> (alpha (B,), v (B, A), ok (B,))."""
+def diff_ik_admm_batch(params, x0, v_we, v_max, ee_r=None, ee_t=None):
+    """Batched ADMM diff-IK (fallback path / oracle): (B,A),(B,6),(B,A)."""
     def build(x0i, vi, vmi):
         return _build_qp(params, x0i, vi, vmi, ee_r, ee_t)
 
@@ -120,3 +204,17 @@ def diff_ik_batch(params, x0, v_we, v_max, ee_r=None, ee_t=None):
     sol = qp.solve(p, qv, a, l, u)
     return jax.vmap(_finalize, in_axes=(0, 0, 0, None))(
         a, v_max, sol, params.num_positions)
+
+
+def diff_ik_one(params: K.ChainParams, x0, v_we, v_max,
+                ee_r: Optional[jnp.ndarray] = None,
+                ee_t: Optional[jnp.ndarray] = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single diff-IK step on the ADMM path: returns (alpha, v (A,), ok).
+
+    Kept as the routing-independent oracle; the Robot facade routes
+    scalar calls through the batched gauge solver at B=1 instead (bitwise
+    identical to the batch path lane — the gauge computation is
+    element-wise over lanes).
+    """
+    return _diff_ik_admm_one(params, x0, v_we, v_max, ee_r, ee_t)
