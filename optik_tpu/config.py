@@ -45,9 +45,11 @@ class SolutionMode(enum.Enum):
             raise ValueError(f"invalid solution mode: {s!r}") from None
 
 
-# Default total number of restart seeds used when the caller asks for
-# "unlimited" restarts (max_restarts=0).  The reference would spin threads
-# until max_time expired; a deterministic budget replaces that.
+# Restart seeds consumed per ROUND when the caller asks for "unlimited"
+# restarts (max_restarts=0).  The reference would spin threads until
+# max_time expired (lib.rs:273-277); the deterministic replacement is
+# rounds of this many restarts with an all-poses-converged check between
+# rounds, up to ``unlimited_rounds_cap`` rounds (see Robot.ik_batch).
 DEFAULT_RESTARTS = 64
 
 
@@ -69,9 +71,18 @@ class SolverConfig:
 
     solution_mode: SolutionMode = SolutionMode.SPEED
     # Accepted for reference API compatibility; not used as a stopping
-    # criterion (see module docstring).
+    # criterion (see module docstring).  Setting a non-default value warns
+    # once at construction: callers porting reference configs that rely on
+    # a large max_time to grind hard poses should set max_restarts=0
+    # (unlimited rounds) or raise max_restarts instead.
     max_time: float = 0.1
-    # Total restart seeds. 0 means "unlimited" -> DEFAULT_RESTARTS.
+    # Total restart seeds.  0 means "unlimited": Robot.ik/ik_batch run
+    # rounds of DEFAULT_RESTARTS seeds, re-solving only the unconverged
+    # poses with the next slice of the deterministic restart stream, until
+    # every pose converges or ``unlimited_rounds_cap`` rounds have run —
+    # the deterministic analog of the reference's restart-until-max_time
+    # loop (lib.rs:273-277).  Entry points below the Robot facade
+    # (ik_sharded, cascade builders) treat 0 as a single round.
     max_restarts: int = 0
     tol_f: float = 1e-6
     tol_df: float = -1.0
@@ -104,6 +115,10 @@ class SolverConfig:
     # pose in the 128-wide tile caps out).  Kept for callers who want the
     # bounded-quality semantics; not a throughput win on this hardware.
     quality_max_successes: int = 0
+    # Hard cap on unlimited-restart rounds (max_restarts=0): at most
+    # cap * DEFAULT_RESTARTS restarts per pose.  The reference's analog
+    # bound is max_time; a deterministic machine needs a count.
+    unlimited_rounds_cap: int = 16
 
     def __post_init__(self):
         # Note: the reference Python binding rejects (max_time=0,
@@ -113,6 +128,16 @@ class SolverConfig:
         # legal here; only the mode needs validating.
         object.__setattr__(
             self, "solution_mode", SolutionMode.parse(self.solution_mode))
+        if self.max_time not in (0.1, 0.0):
+            import warnings
+
+            warnings.warn(
+                "SolverConfig.max_time is accepted for reference API "
+                "parity but IGNORED: budgets here are deterministic "
+                "(max_restarts x max_iters; max_restarts=0 runs rounds "
+                "until convergence).  Raise max_restarts or use "
+                "max_restarts=0 instead of a longer max_time.",
+                stacklevel=2)
 
     @property
     def total_restarts(self) -> int:

@@ -218,7 +218,7 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
                                         res.f.shape)
 
     @functools.partial(jax.jit, static_argnums=())
-    def solve(tgt_r, tgt_t, x0):
+    def solve(tgt_r, tgt_t, x0, restart_offset=None):
         b = tgt_r.shape[0]
         if b % (p_blk * g):
             raise ValueError(
@@ -229,8 +229,14 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
         hi = jnp.asarray(hi_s, dtype)
         key = jax.random.PRNGKey(cfg.rng_seed)
 
+        # ``restart_offset`` (traced scalar) shifts the fold_in indices of
+        # the random-restart draws — the unlimited-restart rounds
+        # (robot.ik_batch, max_restarts=0) continue the deterministic
+        # restart stream across rounds without a recompile.
+        off = 0 if restart_offset is None else restart_offset
+
         def draw(i):
-            k = jax.random.fold_in(key, i)
+            k = jax.random.fold_in(key, i + off)
             return jax.random.uniform(k, (a,), dtype=dtype, minval=lo,
                                       maxval=hi)
 

@@ -171,17 +171,21 @@ def build_batch_solver(spec, cfg: SolverConfig, dtype, mesh=None):
 
     @with_f32_matmuls
     @jax.jit
-    def solve_batch(tgt_r, tgt_t, x0, ee_r=None, ee_t=None):
+    def solve_batch(tgt_r, tgt_t, x0, ee_r=None, ee_t=None,
+                    restart_offset=None):
         b = tgt_r.shape[0]
         lo = jnp.asarray(lo_s, x0.dtype)
         hi = jnp.asarray(hi_s, x0.dtype)
         key = jax.random.PRNGKey(cfg.rng_seed)
+        # Traced shift of the restart stream for unlimited-restart rounds
+        # (see robot.ik_batch; one compile covers every round).
+        off = 0 if restart_offset is None else restart_offset
 
         # Restart seed table: row i is the deterministic per-restart stream
         # (pose-independent, lib.rs:360-370); row 0 is unused (the caller's
         # x0 takes restart index 0).
         def draw(i):
-            k = jax.random.fold_in(key, i)
+            k = jax.random.fold_in(key, i + off)
             return jax.random.uniform(k, (a,), dtype=x0.dtype, minval=lo,
                                       maxval=hi)
 

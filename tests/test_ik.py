@@ -290,3 +290,60 @@ def test_quality_success_cap(robot):
     d0 = np.linalg.norm(np.asarray(res0.x) - x0, axis=-1)
     d1 = np.linalg.norm(np.asarray(res1.x) - x0, axis=-1)
     assert np.all(d0[f0] <= d1[f0] + 1e-9)
+
+
+def test_unlimited_restarts_rescues_hard_pose(robot):
+    """max_restarts=0 must grind past the default budget: a pose that fails
+    one 64-restart round solves under unlimited rounds, deterministically
+    (reference semantics: restart until the budget — there wall-clock,
+    here unlimited_rounds_cap — expires, lib.rs:273-277)."""
+    rng = np.random.default_rng(123)
+    # A small per-attempt iteration budget makes 16-restart failures
+    # common without making the pose unsolvable (measured: 3/20 targets
+    # fail at 16 restarts and all rescue within 8 unlimited rounds).
+    cfg16 = SolverConfig(max_restarts=16, max_iters=5, seed_batch=8)
+    cfg_unl = SolverConfig(max_restarts=0, max_iters=5, seed_batch=8,
+                           unlimited_rounds_cap=16)
+
+    hard = None
+    for _ in range(40):
+        target = random_reachable_target(robot, rng)
+        if robot.ik(cfg16, target, np.zeros(6)) is None:
+            hard = target
+            break
+    assert hard is not None, "no 16-restart failure found; weaken budget"
+
+    sol = robot.ik(cfg_unl, hard, np.zeros(6))
+    assert sol is not None
+    np.testing.assert_allclose(robot.fk(np.array(sol[0])), hard, atol=1e-2)
+    again = robot.ik(cfg_unl, hard, np.zeros(6))
+    np.testing.assert_array_equal(np.array(sol[0]), np.array(again[0]))
+
+
+def test_unlimited_restarts_batch_merges_rounds(robot):
+    """Batched unlimited mode: easy poses keep their round-1 result
+    bitwise; hard poses gain found-ness from later rounds."""
+    rng = np.random.default_rng(7)
+    cfg1 = SolverConfig(max_restarts=64, max_iters=5, seed_batch=8)
+    cfg_unl = cfg1.replace(max_restarts=0, unlimited_rounds_cap=16)
+
+    B = 12
+    targets = [random_reachable_target(robot, rng) for _ in range(B)]
+    tr = np.stack([t[:3, :3] for t in targets])
+    tt = np.stack([t[:3, 3] for t in targets])
+    x0 = np.zeros((B, 6))
+
+    r1 = robot.ik_batch(cfg1, tr, tt, x0)
+    ru = robot.ik_batch(cfg_unl, tr, tt, x0)
+    f1, fu = np.asarray(r1.found), np.asarray(ru.found)
+    # Unlimited found-set is a superset of one round's.
+    assert (fu | ~f1).all()
+    assert fu.sum() >= f1.sum()
+    # Poses found in round 1 keep identical solutions.
+    np.testing.assert_array_equal(np.asarray(ru.x)[f1],
+                                  np.asarray(r1.x)[f1])
+
+
+def test_max_time_warns_when_set():
+    with pytest.warns(UserWarning, match="max_time"):
+        SolverConfig(max_time=5.0)
