@@ -128,6 +128,11 @@ def sincos(x):
 # they stay out of the kernel (measured: ~27% of the LM body's ops were
 # static-zero products).  `0.0` results stay Python floats so the
 # sparsity propagates through the FK composition chain.
+#
+# NOTE: the static folds are not IEEE-faithful for non-finite traced
+# operands (x * 0 -> 0.0 even when x would be NaN/Inf at runtime).  All
+# current callers fold only static chain constants against finite joint
+# values; do not rely on NaN/Inf propagation through statically-zero terms.
 
 
 def smul(a, b):

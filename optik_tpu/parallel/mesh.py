@@ -64,6 +64,16 @@ def ik_sharded(robot, cfg: SolverConfig, tgt_r, tgt_t, x0,
     mesh.shape['data'] and S (cfg.total_restarts) by mesh.shape['seed'].
     Lanes run on the SoA fast path; the winner selection lowers to a
     seed-axis argmin-reduce collective.
+
+    WHEN TO USE WHICH MULTI-CHIP ENTRY: this is the flexible entry — it is
+    the only one that can spread one pose's restart seeds across chips
+    (mesh 'seed' axis > 1), which matters when S is huge or B is small.
+    It runs the XLA SoA path, ~10x slower per chip than the Pallas kernel:
+    the kernel solves a whole pose block inside one core's VMEM, so its
+    seed lanes cannot span chips by construction.  For throughput
+    (B >> chips, S modest) use :func:`build_sharded_cascade`, which runs
+    the full kernel cascade per pose shard with zero cross-chip
+    collectives in the solve itself.
     """
     if tgt_r.shape[0] % mesh.shape["data"]:
         raise ValueError("pose batch not divisible by mesh 'data' axis")
@@ -134,8 +144,10 @@ def build_sharded_cascade(robot, cfg: SolverConfig, mesh: Mesh, *,
         local = cascade.build_cascade_solver(
             robot.spec, cfg, dtype=robot.dtype, interpret=interpret,
             p_blk=p_blk or 256, **cascade_kw)
+        s = min(cfg.seed_batch, cfg.total_restarts)
+        unit = (p_blk or 256) * cascade._pack(s)
     else:
-        local, _unit = cascade.build_default_solver(
+        local, unit = cascade.build_default_solver(
             robot.spec, cfg, dtype=robot.dtype, interpret=interpret,
             p_blk=p_blk)
 
@@ -169,7 +181,16 @@ def build_sharded_cascade(robot, cfg: SolverConfig, mesh: Mesh, *,
     # EVERY invocation — measured 8 s/call vs 50 ms compiled on v5e.
     sharded = jax.jit(sharded)
 
+    data_n = int(mesh.shape["data"])
+
     def solve(tgt_r, tgt_t, x0):
+        b = tgt_r.shape[0]
+        if b % (data_n * unit):
+            raise ValueError(
+                f"batch {b} must be a multiple of data_axis * block_unit "
+                f"= {data_n} * {unit} (the default 3-phase schedule "
+                f"screens {unit}-pose tile blocks per shard; pass p_blk "
+                f"to shrink the block, or pad the batch)")
         return sharded(jnp.asarray(tgt_r, robot.dtype),
                        jnp.asarray(tgt_t, robot.dtype),
                        jnp.asarray(x0, robot.dtype))

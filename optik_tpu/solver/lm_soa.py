@@ -96,7 +96,10 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
     differ from ``unroll=1`` by float rounding (the compiler contracts
     the unrolled body differently), like any recompilation would.
     Determinism holds per compiled program, which is what the contract
-    promises.
+    promises.  Bound: the reported ``iters`` can exceed
+    ``(max_iters + 1) * rounds`` by at most ``unroll - 1`` trailing
+    applications (genuinely executed no-op VPU work; default unroll=1
+    makes this exact).
     """
     a = len(xs0)
     lane_shape = jnp.broadcast_shapes(*[jnp.shape(x) for x in xs0])
