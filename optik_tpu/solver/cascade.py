@@ -233,29 +233,35 @@ def build_default_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
 
     Returns ``(solve, block_unit)``: B must be a multiple of block_unit.
 
-    Three phases when the restart budget allows (v5e round-2 sweep,
-    artifacts/TUNE2_r02.jsonl — 534k Panda solves/s vs 439-510k for the
-    2-phase schedule at the same found set):
+    Three phases when the restart budget allows (v5e round-4 sweep,
+    artifacts/r04_main.out "sched" — 4.76M Panda solves/s at 227
+    lane-iters/solve vs 3.78M at 308 for the round-3 schedule, identical
+    found set):
 
-      screen  every pose, 1 round of S lanes at ~3/4 max_iters, wide tile;
+      screen  every pose, 1 round of S lanes at ~3/8 max_iters, wide
+              tile (the iters-to-converge histogram puts ~87% of poses
+              at <= 12 of 32 iterations — a longer screen buys nothing);
       mid     failed quarter, 2 rounds at full iters;
-      final   failed 1/32, the full restart schedule.
+      final   failed 1/64, the full restart schedule.
 
-    Falls back to the 2-phase schedule when the budget is too small to
-    split three ways (needs > 3 rounds of S lanes).
+    The found mask is schedule-invariant (every pose failing all screens
+    replays the complete single-shot budget): measured bit-identical
+    found counts across all sweep variants.  Falls back to the 2-phase
+    schedule when the budget is too small to split three ways (needs
+    > 3 rounds of S lanes).
     """
     s = min(cfg.seed_batch, cfg.total_restarts)
     pack = _pack(s)
     p1 = p_blk or 1024
     p2 = min(256, p1)
-    screen_iters = max(1, (3 * cfg.max_iters) // 4)
+    screen_iters = max(1, (3 * cfg.max_iters) // 8)
     if cfg.total_restarts > 3 * s:
         solve = build_multiphase_solver(
             spec, cfg,
             screens=[{"seeds": s, "rounds": 1, "iters": screen_iters,
                       "p_blk": p1, "keep_div": 4},
                      {"seeds": s, "rounds": 2, "p_blk": p2,
-                      "keep_div": 8}],
+                      "keep_div": 16}],
             final_p_blk=p2, dtype=dtype, interpret=interpret,
             ee_offset=ee_offset)
     else:
