@@ -242,11 +242,15 @@ def build_default_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
               tile (the iters-to-converge histogram puts ~87% of poses
               at <= 12 of 32 iterations — a longer screen buys nothing);
       mid     failed quarter, 2 rounds at full iters;
-      final   failed 1/64, the full restart schedule.
+      final   failed 1/32, the full restart schedule.
 
-    The found mask is schedule-invariant (every pose failing all screens
-    replays the complete single-shot budget): measured bit-identical
-    found counts across all sweep variants.  Falls back to the 2-phase
+    The found mask matches the single-shot schedule's (every pose
+    failing all screens replays the complete budget) as long as no
+    compaction overflows: post-mid failures measured ~1.1% of B on
+    random reachable Panda poses vs the 3.1% final capacity (2.7x
+    headroom).  The round-4 sweep (artifacts/r04_sched2.out) showed
+    tighter finals (keep_div 16/32) buy <=4% throughput and eat that
+    margin — capacity generosity wins.  Falls back to the 2-phase
     schedule when the budget is too small to split three ways (needs
     > 3 rounds of S lanes).
     """
@@ -261,7 +265,7 @@ def build_default_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
             screens=[{"seeds": s, "rounds": 1, "iters": screen_iters,
                       "p_blk": p1, "keep_div": 4},
                      {"seeds": s, "rounds": 2, "p_blk": p2,
-                      "keep_div": 16}],
+                      "keep_div": 8}],
             final_p_blk=p2, dtype=dtype, interpret=interpret,
             ee_offset=ee_offset)
     else:
