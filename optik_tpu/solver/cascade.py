@@ -241,31 +241,36 @@ def build_default_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
       screen  every pose, 1 round of S lanes at ~3/8 max_iters, wide
               tile (the iters-to-converge histogram puts ~87% of poses
               at <= 12 of 32 iterations — a longer screen buys nothing);
-      mid     failed quarter, 2 rounds at full iters;
+      mid     failed quarter, 2 rounds at ~3/4 max_iters;
       final   failed 1/32, the full restart schedule.
 
     The found mask matches the single-shot schedule's (every pose
     failing all screens replays the complete budget) as long as no
     compaction overflows: post-mid failures measured ~1.1% of B on
     random reachable Panda poses vs the 3.1% final capacity (2.7x
-    headroom).  The round-4 sweep (artifacts/r04_sched2.out) showed
-    tighter finals (keep_div 16/32) buy <=4% throughput and eat that
-    margin — capacity generosity wins.  Falls back to the 2-phase
-    schedule when the budget is too small to split three ways (needs
-    > 3 rounds of S lanes).
+    headroom).  The round-4 sweeps (artifacts/r04_sched2.out,
+    r04_final.out) showed tighter finals (keep_div 16/32) buy <=4%
+    throughput and eat that margin — capacity generosity wins — while
+    trimming the mid's per-attempt iterations to 3/4 is free (found
+    bit-identical, 235 -> 220 lane-iters/solve: a mid attempt that
+    hasn't converged by 24 iterations almost never converges by 32,
+    and the final replays the full schedule anyway).  Falls back to
+    the 2-phase schedule when the budget is too small to split three
+    ways (needs > 3 rounds of S lanes).
     """
     s = min(cfg.seed_batch, cfg.total_restarts)
     pack = _pack(s)
     p1 = p_blk or 1024
     p2 = min(256, p1)
     screen_iters = max(1, (3 * cfg.max_iters) // 8)
+    mid_iters = max(1, (3 * cfg.max_iters) // 4)
     if cfg.total_restarts > 3 * s:
         solve = build_multiphase_solver(
             spec, cfg,
             screens=[{"seeds": s, "rounds": 1, "iters": screen_iters,
                       "p_blk": p1, "keep_div": 4},
-                     {"seeds": s, "rounds": 2, "p_blk": p2,
-                      "keep_div": 8}],
+                     {"seeds": s, "rounds": 2, "iters": mid_iters,
+                      "p_blk": p2, "keep_div": 8}],
             final_p_blk=p2, dtype=dtype, interpret=interpret,
             ee_offset=ee_offset)
     else:
