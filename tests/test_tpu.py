@@ -251,3 +251,39 @@ def test_default_cascade_success_floor_on_device(robot):
     np.testing.assert_array_equal(got_f, ref_f)
     assert not got_f[::1024].any()
     assert got_f.sum() >= (B - 16) * 0.99
+
+
+def test_diff_ik_gauge_on_device(robot):
+    """The closed-form gauge diff-IK on real TPU f32: bounds, tracking,
+    and LP optimality (vs scipy on the host) hold for the compiled path."""
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    rng = np.random.default_rng(11)
+    lo, hi = robot.joint_limits()
+    B = 256
+    x0 = rng.uniform(lo, hi, size=(B, 7))
+    v_we = rng.standard_normal((B, 6))
+    v_max = rng.uniform(0.3, 1.5, size=(B, 7))
+
+    alpha, v, ok = map(np.asarray, robot.diff_ik_batch(x0, v_we, v_max))
+    assert ok.mean() > 0.99
+    assert np.all(alpha[ok] >= -1e-6) and np.all(alpha[ok] <= 1 + 1e-6)
+    assert np.all(np.abs(v[ok]) <= v_max[ok] + 1e-5)
+
+    # Spot-check LP optimality on 5 lanes against scipy (host-side J).
+    for i in range(0, B, B // 5):
+        if not ok[i]:
+            continue
+        j = robot.joint_jacobian(x0[i])
+        r = robot.fk(x0[i])[:3, :3]
+        jw = np.vstack([r @ j[:3], r @ j[3:]])
+        c = np.zeros(8)
+        c[7] = -1.0
+        res = scipy_opt.linprog(
+            c, A_eq=np.hstack([jw, -v_we[i][:, None]]), b_eq=np.zeros(6),
+            bounds=[(-v_max[i][k], v_max[i][k]) for k in range(7)]
+            + [(0.0, 1.0)], method="highs")
+        assert res.success
+        np.testing.assert_allclose(alpha[i], res.x[7], atol=5e-4)
+        np.testing.assert_allclose(
+            jw @ v[i], alpha[i] * v_we[i],
+            atol=2e-5 * (1 + np.abs(v_we[i]).max()))
