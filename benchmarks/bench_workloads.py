@@ -179,11 +179,16 @@ def main():
 
     # --- config 5: 1M-pose motion-planning workload ----------------------
     cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=32)
-    chunk = 8192
-    # 16 chunks = 131k poses by default; OPTIK_MP_CHUNKS=122 runs the full
-    # ~1M-pose sweep (999,424 poses).
+    # Chunk size is a dispatch-amortization knob: per-execution relay
+    # overhead measured 0.5-13 ms depending on the day (PARITY r4 note),
+    # so production-shaped sweeps use 32k-pose chunks (device work ~7 ms
+    # per chunk >> dispatch).  OPTIK_MP_CHUNK=8192 reproduces the r3
+    # methodology exactly.
     import os as _os
-    n_chunks = int(_os.environ.get("OPTIK_MP_CHUNKS", 16))
+    chunk = int(_os.environ.get("OPTIK_MP_CHUNK", 32768))
+    # 4 chunks = 131k poses by default; OPTIK_MP_CHUNKS=30 runs the full
+    # ~1M-pose sweep (983,040 poses at the default chunk).
+    n_chunks = int(_os.environ.get("OPTIK_MP_CHUNKS", 131072 // chunk))
     # validate_seeds=False: chunk seeds are uniform-in-limits by
     # construction, and the per-call device-bool fetch of the validation
     # would serialize the chunk pipeline (robot.ik_batch docstring).

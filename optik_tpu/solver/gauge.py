@@ -51,10 +51,12 @@ import jax.numpy as jnp
 from ..ops import soa
 
 # Largest joint count served by the exact facet enumeration: C(n, 5)
-# subsets are unrolled at trace time (n=7 -> 21, n=8 -> 56).  Beyond that
-# the trace gets large and callers fall back to the iterative ADMM path
+# subsets are unrolled at trace time (n=6 -> 6, n=7 -> 21).  n=8 (56
+# subsets, ~50k-op graph) measured PATHOLOGICAL XLA:CPU compile times
+# (>9 min even in f32 — the optimizer chokes on the long Gram-Schmidt
+# dependency chains), so 8+ joints fall back to the iterative ADMM path
 # (solver/diffik.py handles the routing).
-MAX_EXACT_N = 8
+MAX_EXACT_N = 7
 MIN_EXACT_N = 5
 
 _TINY = 1e-30

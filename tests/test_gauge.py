@@ -173,3 +173,69 @@ def test_gauge_batch_invariance(robot):
         assert bool(ok1[0]) == bool(ok_full[i])
         np.testing.assert_array_equal(a1[0], a_full[i])
         np.testing.assert_array_equal(v1[0], v_full[i])
+
+
+def _chain_urdf(n):
+    """Synthetic n-DoF serial arm URDF (alternating z/y axes)."""
+    links = "".join(f'<link name="l{i}"/>' for i in range(n + 1))
+    joints = []
+    for i in range(n):
+        ax = "0 0 1" if i % 2 == 0 else "0 1 0"
+        joints.append(
+            f'<joint name="j{i}" type="revolute">'
+            f'<parent link="l{i}"/><child link="l{i+1}"/>'
+            f'<origin xyz="0.2 0 0.1" rpy="0 0 0"/>'
+            f'<axis xyz="{ax}"/>'
+            f'<limit lower="-2.5" upper="2.5" effort="1" velocity="1"/>'
+            f'</joint>')
+    return f'<robot name="syn{n}">{links}{"".join(joints)}</robot>'
+
+
+# The n=7 upper boundary (Panda) is covered by the main oracle sweep;
+# n=8+ routes to ADMM (gauge.MAX_EXACT_N — its compile measured
+# pathological), pinned by the routing test below.
+@pytest.mark.parametrize("n", [5])
+def test_gauge_joint_count_boundaries_exact(n):
+    """The exact path serves its joint-count boundary (C(5,5)=1)."""
+    bot = Robot.from_urdf_str(_chain_urdf(n), "l0", f"l{n}")
+    rng = np.random.default_rng(n)
+    x0 = bot.random_configuration(rng)
+    v_we = rng.standard_normal(6)
+    v_max = np.ones(n)
+    sol = bot.diff_ik(x0, v_we, v_max)
+    assert sol is not None
+    alpha, v = sol
+    jw = world_jacobian(bot, x0)
+    np.testing.assert_allclose(alpha, lp_alpha(jw, v_we, v_max), atol=5e-4)
+    np.testing.assert_allclose(jw @ np.array(v), alpha * v_we,
+                               atol=1e-5 * (1 + np.abs(v_we).max()))
+
+
+def test_gauge_routing_by_joint_count():
+    """build_batch_solver serves exactly [MIN_EXACT_N, MAX_EXACT_N]."""
+    from optik_tpu.solver import diffik, gauge
+
+    for n, exact in ((4, False), (5, True), (7, True), (8, False)):
+        bot = Robot.from_urdf_str(_chain_urdf(n), "l0", f"l{n}")
+        fn = diffik.build_batch_solver(bot.spec, bot.dtype)
+        assert (fn is not None) == exact
+        assert (gauge.MIN_EXACT_N <= n <= gauge.MAX_EXACT_N) == exact
+
+
+@pytest.mark.parametrize("n", [4])
+def test_gauge_fallback_outside_exact_range(n):
+    """n outside [MIN_EXACT_N, MAX_EXACT_N] routes the ADMM fallback and
+    still honors the contracts (box bounds + tracking when ok)."""
+    bot = Robot.from_urdf_str(_chain_urdf(n), "l0", f"l{n}")
+    rng = np.random.default_rng(n)
+    x0 = bot.random_configuration(rng)
+    v_we = rng.standard_normal(6)
+    v_max = np.ones(n)
+    sol = bot.diff_ik(x0, v_we, v_max)
+    if sol is not None:
+        alpha, v = sol
+        assert -1e-6 <= alpha <= 1 + 1e-6
+        assert np.all(np.abs(v) <= 1 + 1e-6)
+        jw = world_jacobian(bot, x0)
+        np.testing.assert_allclose(jw @ np.array(v), alpha * v_we,
+                                   atol=2e-5 * (1 + np.abs(v_we).max()))
