@@ -90,6 +90,72 @@ def main():
             "success_rate": round(found / B, 4), "device": dev,
         }), flush=True)
 
+    # --- dispatch/RTT/device split at B=8 (VERDICT r3 item 8) -------------
+    # Three measurements of the same tiny solve separate the stack:
+    #   synced     = one result fetch per solve  -> + relay round trip
+    #   chained    = 16 solves, one fetch        -> + per-dispatch overhead
+    #   in-program = 16 solves inside ONE jit    -> device + program only
+    # On a locally-attached host the user sees ~the in-program number plus
+    # sub-ms dispatch; the synced-vs-chained gap is the benching tunnel.
+    B = 8
+    qt = rng.uniform(lo, hi, size=(B, 7))
+    tr, tt = robot.fk_batch(qt)
+    x0 = jnp.asarray(rng.uniform(lo, hi, size=(B, 7)), jnp.float32)
+    for a in (tr, tt, x0):
+        np.asarray(a.ravel()[0])
+    cfg8 = SolverConfig(max_restarts=8, seed_batch=8, max_iters=32)
+    solve8 = lambda x: robot.ik_batch(cfg8, tr, tt, x, validate_seeds=False)
+    res = solve8(x0)
+    _ = np.asarray(res.cost[0])
+    lat_sync = []
+    for _i in range(20):
+        t0 = time.perf_counter()
+        res = solve8(x0)
+        _ = np.asarray(res.cost[0])
+        lat_sync.append(time.perf_counter() - t0)
+
+    def chained():
+        t0 = time.perf_counter()
+        last = None
+        for _i in range(16):
+            last = solve8(x0)
+        _ = np.asarray(last.cost[0])
+        return (time.perf_counter() - t0) / 16
+
+    chained(); chained()
+    per_call = float(np.median([chained() for _i in range(3)]))
+
+    in_prog = None
+    kentry = robot._kernel_solver(cfg8, None)
+    if kentry is not None:
+        kfn, _blk = kentry
+        K = 16
+
+        @jax.jit
+        def chain_prog(tr_, tt_, x0_):
+            acc = jnp.zeros((), jnp.int32)
+            xcur = x0_
+            for _i in range(K):
+                r = kfn(jnp.tile(tr_, (32, 1, 1)), jnp.tile(tt_, (32, 1)),
+                        jnp.tile(xcur, (32, 1)))
+                acc = acc + jnp.sum(r.found.astype(jnp.int32))
+                # data dependency defeats CSE between iterations
+                xcur = x0_ + 0.0 * r.cost[:B, None]
+            return acc
+
+        _ = int(chain_prog(tr, tt, x0))
+        t0 = time.perf_counter()
+        _ = int(chain_prog(tr, tt, x0))
+        in_prog = (time.perf_counter() - t0) / K
+    print(json.dumps({
+        "metric": "ik_b8_latency_split_ms", "batch": B,
+        "synced_p50_ms": round(1e3 * float(np.median(lat_sync)), 2),
+        "chained_per_call_ms": round(1e3 * per_call, 2),
+        "inprogram_per_solve_ms": (None if in_prog is None
+                                   else round(1e3 * in_prog, 3)),
+        "device": dev,
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
