@@ -80,9 +80,9 @@ def build_batch_solver(spec, dtype):
 
     Returns ``fn(x0 (B,A), v_we (B,6), v_max (B,A), ee_r, ee_t) ->
     (alpha (B,), v (B,A), ok (B,))``.  Routes the exact gauge solver for
-    5 <= n <= 7 joints (C(n,5) facet cuts unroll at trace time; larger n
-    measured pathological compile times — see gauge.MAX_EXACT_N), the
-    ADMM path otherwise.
+    5 <= n <= 10 joints (the C(n,5) facet cuts run as an array axis;
+    memory scales as C(n,5) x B — see gauge.MAX_EXACT_N), the ADMM path
+    otherwise.
     """
     n = spec.num_positions
     if not (gauge.MIN_EXACT_N <= n <= gauge.MAX_EXACT_N):

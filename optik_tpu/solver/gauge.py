@@ -29,11 +29,15 @@ form: out-of-facet coordinates sit at their bounds (u_i = sign(w.g_i)), the
 scaling by alpha / t* maps the facet point to the solution (the box is
 symmetric and star-shaped, so the scaled point stays feasible).
 
-Everything is a fixed unrolled computation over lane-shaped arrays (SoA:
-small dims in Python lists, the batch as the only array axis) — zero
-iterations, zero data-dependent control flow, exact answers.  This is the
-same redesign step the IK path took: replace the iterative host algorithm
-with the problem's closed-form batched geometry.
+Layout: the subset axis is an ARRAY dimension — all per-facet math runs on
+(C, lanes)-shaped arrays written once, not C unrolled copies (an earlier
+fully-unrolled form measured pathological XLA compile times beyond ~21
+subsets: >9 min for C(8,5)=56 — the optimizer choked on the repeated
+Gram-Schmidt dependency chains).  Small vector components (the 6 spatial
+dims, the 5 subset positions) stay Python lists in the SoA style of
+ops/soa.py; everything is element-wise over (C, lanes) or (lanes,), with
+one tiny one-hot contraction selecting the winning facet.  Zero
+iterations, zero data-dependent control flow, exact answers.
 
 Degenerate cases (rank-deficient J, V orthogonal to the reachable space,
 ties) can make the minimum cut conservative (t < t*) but never infeasible;
@@ -47,56 +51,19 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import soa
 
-# Largest joint count served by the exact facet enumeration: C(n, 5)
-# subsets are unrolled at trace time (n=6 -> 6, n=7 -> 21).  n=8 (56
-# subsets, ~50k-op graph) measured PATHOLOGICAL XLA:CPU compile times
-# (>9 min even in f32 — the optimizer chokes on the long Gram-Schmidt
-# dependency chains), so 8+ joints fall back to the iterative ADMM path
-# (solver/diffik.py handles the routing).
-MAX_EXACT_N = 7
+# Largest joint count served by the exact facet enumeration.  The facet
+# axis costs C(n, 5) x batch memory per live array (n=7 -> 21 rows, n=10
+# -> 252), so very-redundant arms fall back to the iterative ADMM path
+# (solver/diffik.py handles the routing); callers with 8-10 joints and
+# huge batches should chunk the batch.
+MAX_EXACT_N = 10
 MIN_EXACT_N = 5
 
 _TINY = 1e-30
-
-
-def _facet_normal(cols: Sequence[soa.Vec]):
-    """Unit normal to span(cols) (5 six-vectors), lane-wise.
-
-    Modified Gram-Schmidt orthonormalizes the columns, then the normal is
-    the largest column of the complement projector I - Q Q^T — picked by
-    residual norm, which is stable for any conditioning (a degenerate
-    subset yields *some* unit direction, which still produces a valid cut;
-    see module docstring).
-    """
-    qvecs = []
-    for col in cols:
-        c = list(col)
-        for qv in qvecs:
-            d = soa.vec_dot(qv, c)
-            c = [c[i] - d * qv[i] for i in range(6)]
-        inv = jax.lax.rsqrt(jnp.maximum(soa.vec_dot(c, c), _TINY))
-        qvecs.append([c[i] * inv for i in range(6)])
-
-    # ||(I - QQ^T) e_k||^2 = 1 - sum_m Q[k,m]^2 (orthonormal columns).
-    nk = [1.0 - sum(qv[k] * qv[k] for qv in qvecs) for k in range(6)]
-
-    # argmax_k nk, then w = e_k* - sum_m Q[k*,m] q_m, normalized.
-    best = nk[0]
-    coef = [qv[0] for qv in qvecs]
-    ek: List = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-    for k in range(1, 6):
-        better = nk[k] > best
-        best = jnp.where(better, nk[k], best)
-        coef = [jnp.where(better, qv[k], cm) for qv, cm in zip(qvecs, coef)]
-        ek = [jnp.where(better, 1.0 if j == k else 0.0, ek[j])
-              for j in range(6)]
-    w = [ek[j] - sum(cm * qv[j] for cm, qv in zip(coef, qvecs))
-         for j in range(6)]
-    inv = jax.lax.rsqrt(jnp.maximum(best, _TINY))
-    return [w[j] * inv for j in range(6)]
 
 
 def gauge_solve(gens: Sequence[soa.Vec], v: soa.Vec
@@ -115,14 +82,49 @@ def gauge_solve(gens: Sequence[soa.Vec], v: soa.Vec
     if n < MIN_EXACT_N:
         raise ValueError(f"gauge_solve needs >= {MIN_EXACT_N} generators")
     subsets = list(itertools.combinations(range(n), 5))
+    n_sub = len(subsets)
+    idx = np.asarray(subsets)                       # (C, 5) static
 
     lane = jnp.broadcast_shapes(*[jnp.shape(c) for c in v])
     dtype = v[0].dtype if hasattr(v[0], "dtype") else jnp.float32
+    gens = [[jnp.broadcast_to(jnp.asarray(gk, dtype), lane) for gk in gi]
+            for gi in gens]
 
-    best_t = jnp.full(lane, jnp.inf, dtype)
-    best_w = [jnp.zeros(lane, dtype) for _ in range(6)]
-    best_id = jnp.zeros(lane, jnp.int32)
+    # Subset-position stacks: sub[m][k] is (C, *lane) — row c holds
+    # generator idx[c, m]'s k-th component.
+    sub = [[jnp.stack([gens[idx[c, m]][k] for c in range(n_sub)], axis=0)
+            for k in range(6)] for m in range(5)]
 
+    # --- facet normal per subset row: Gram-Schmidt + complement projector.
+    # A degenerate subset yields *some* unit direction, which still
+    # produces a valid (upper-bound) cut; see module docstring.
+    qvecs = []
+    for m in range(5):
+        c_vec = list(sub[m])
+        for qv in qvecs:
+            d = soa.vec_dot(qv, c_vec)
+            c_vec = [c_vec[k] - d * qv[k] for k in range(6)]
+        inv = jax.lax.rsqrt(jnp.maximum(soa.vec_dot(c_vec, c_vec), _TINY))
+        qvecs.append([c_vec[k] * inv for k in range(6)])
+
+    # ||(I - QQ^T) e_k||^2 = 1 - sum_m Q[k,m]^2 (orthonormal columns);
+    # take the best-conditioned complement column as the normal.
+    nk = [1.0 - sum(qv[k] * qv[k] for qv in qvecs) for k in range(6)]
+    best = nk[0]
+    coef = [qv[0] for qv in qvecs]
+    ek: List = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    for k in range(1, 6):
+        better = nk[k] > best
+        best = jnp.where(better, nk[k], best)
+        coef = [jnp.where(better, qv[k], cm) for qv, cm in zip(qvecs, coef)]
+        ek = [jnp.where(better, 1.0 if j == k else 0.0, ek[j])
+              for j in range(6)]
+    w = [ek[j] - sum(cm * qv[j] for cm, qv in zip(coef, qvecs))
+         for j in range(6)]
+    inv = jax.lax.rsqrt(jnp.maximum(best, _TINY))
+    w = [w[j] * inv for j in range(6)]               # (C, *lane) x 6
+
+    # --- cuts ------------------------------------------------------------
     # Cut-validity floor: |w.v| must clear the f32 noise floor of the dot
     # products, RELATIVE to |v|.  At rank-deficient J (exactly singular
     # configurations), every spanning subset's normal is orthogonal to
@@ -131,32 +133,35 @@ def gauge_solve(gens: Sequence[soa.Vec], v: soa.Vec
     # t = +inf, which the caller reports as ok=False (the facet
     # enumeration cannot certify flat zonotopes; measure-zero configs).
     # A *genuine* near-parallel facet whose cut this floor excludes has
-    # t = h/|d| >= h / (floor) — huge, so exclusion never tightens alpha
+    # t = h/|d| >= h / floor — huge, so exclusion never tightens alpha
     # below min(1, t*); any overshoot is caught by the caller's tracking
     # gate.
     vinf = jnp.abs(v[0])
     for k in range(1, 6):
         vinf = jnp.maximum(vinf, jnp.abs(v[k]))
-    d_floor = 1e-5 * vinf
+    d_floor = 1e-5 * vinf                            # (*lane,)
 
-    for c, sub in enumerate(subsets):
-        w = _facet_normal([gens[i] for i in sub])
-        d = soa.vec_dot(w, v)
-        s = jnp.where(d < 0, -1.0, 1.0)
-        dabs = jnp.abs(d)
-        h = soa.ssum([jnp.abs(soa.vec_dot(w, gens[i])) for i in range(n)])
-        t_c = jnp.where(dabs > d_floor, h / jnp.maximum(dabs, _TINY),
-                        jnp.inf)
-        better = t_c < best_t
-        best_t = jnp.where(better, t_c, best_t)
-        best_w = [jnp.where(better, s * w[j], best_w[j]) for j in range(6)]
-        best_id = jnp.where(better, c, best_id)
+    d = soa.vec_dot(w, v)                            # broadcasts to (C, *)
+    s = jnp.where(d < 0, -1.0, 1.0)
+    dabs = jnp.abs(d)
+    h = soa.ssum([jnp.abs(soa.vec_dot(w, gens[i])) for i in range(n)])
+    t_c = jnp.where(dabs > d_floor, h / jnp.maximum(dabs, _TINY), jnp.inf)
 
-    # --- boundary-point recovery on the winning facet ---------------------
-    # Membership mask mu_i = 1 when column i spans the winning facet.
-    mu = [soa.ssum([(best_id == c).astype(dtype)
-                    for c, sub in enumerate(subsets) if i in sub])
-          for i in range(n)]
+    best_t = jnp.min(t_c, axis=0)                    # (*lane,)
+    cidx = jnp.argmin(t_c, axis=0)                   # (*lane,) int
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, t_c.shape, 0)
+              == cidx[None]).astype(dtype)           # (C, *lane)
+    best_w = [jnp.sum(onehot * (s * w[j]), axis=0) for j in range(6)]
+
+    # --- boundary-point recovery on the winning facet --------------------
+    # Membership mask mu_i = 1 when column i spans the winning facet
+    # (static (C, n) table contracted with the winner one-hot).
+    memb = np.zeros((n_sub, n), np.float64)
+    for c, s_c in enumerate(subsets):
+        memb[c, list(s_c)] = 1.0
+    mu = [jnp.sum(onehot * jnp.asarray(memb[:, i], dtype)[
+        (...,) + (None,) * len(lane)], axis=0) for i in range(n)]
+
     a_dots = [soa.vec_dot(best_w, gens[i]) for i in range(n)]
     u_out = [jnp.where(a >= 0, 1.0, -1.0) for a in a_dots]
 
