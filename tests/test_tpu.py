@@ -287,3 +287,30 @@ def test_diff_ik_gauge_on_device(robot):
         np.testing.assert_allclose(
             jw @ v[i], alpha[i] * v_we[i],
             atol=2e-5 * (1 + np.abs(v_we[i]).max()))
+
+
+def test_unlimited_restarts_on_device(robot):
+    """The compiled kernel's traced restart_offset path: unlimited mode
+    (max_restarts=0) must rescue poses a weak single round misses, with
+    round-1 results preserved bitwise."""
+    tr, tt, x0 = make_problem(robot, 256, seed=5)
+    # A deliberately weak per-attempt budget makes single-round failures
+    # common on random seeds.
+    cfg1 = SolverConfig(max_restarts=64, seed_batch=8, max_iters=4)
+    cfg_unl = cfg1.replace(max_restarts=0, unlimited_rounds_cap=8)
+
+    r1 = robot.ik_batch(cfg1, tr, tt, x0, validate_seeds=False)
+    ru = robot.ik_batch(cfg_unl, tr, tt, x0, validate_seeds=False)
+    f1, fu = np.asarray(r1.found), np.asarray(ru.found)
+    # Superset + bitwise-preserved round-1 winners.
+    assert (fu | ~f1).all()
+    np.testing.assert_array_equal(np.asarray(ru.x)[f1],
+                                  np.asarray(r1.x)[f1])
+    # The weak budget must leave failures for later rounds to rescue —
+    # otherwise this test proves nothing; 4-iter attempts on random Panda
+    # poses fail a 64-restart round ~10-40% of the time.
+    assert (~f1).sum() > 0, "weak budget solved everything; tighten it"
+    assert fu.sum() > f1.sum(), "unlimited rounds rescued nothing"
+    # All rescued solutions satisfy the tolerance.
+    cost_u = np.asarray(ru.cost)
+    assert np.all(cost_u[fu] <= cfg1.tol_f * 1.001)
