@@ -87,14 +87,31 @@ def _compact(found, cost, tgt_r, tgt_t, x0, b2):
 
 @jax.jit
 def _merge(res1, idx, res2):
+    """Overlay phase-2 results onto the parent where they add found-ness.
+
+    Rows the parent should KEEP are redirected to a sink row appended
+    past the batch (and sliced off), so the merge is pure scatters with
+    no per-field parent-row gathers.  Measured NEUTRAL end-to-end on v5e
+    (27.50 vs 27.57 ms/128k-batch, artifacts/r04_merge.out — XLA already
+    fused the where() form's gathers into the scatter); kept for the
+    simpler scatter story.  Values are bit-identical to the where()
+    form: a pose takes res2 exactly when it failed res1 and res2 found
+    it.
+    """
+    b = res1.found.shape[0]
     take2 = ~res1.found[idx] & res2.found
-    found = res1.found.at[idx].set(res1.found[idx] | res2.found)
-    x = res1.x.at[idx].set(jnp.where(take2[:, None], res2.x, res1.x[idx]))
-    cost = res1.cost.at[idx].set(jnp.where(take2, res2.cost, res1.cost[idx]))
+    idx_eff = jnp.where(take2, idx, b)  # b = discarded sink row
+
+    def put(dst, src):
+        pad = jnp.zeros((1,) + dst.shape[1:], dst.dtype)
+        return jnp.concatenate([dst, pad], axis=0).at[idx_eff].set(src)[:b]
+
+    found = put(res1.found, res2.found)
+    x = put(res1.x, res2.x)
+    cost = put(res1.cost, res2.cost)
     iters = None
     if res1.iters is not None and res2.iters is not None:
-        iters = res1.iters.at[idx].set(
-            jnp.where(take2, res2.iters, res1.iters[idx]))
+        iters = put(res1.iters, res2.iters)
     lane_iters = None
     if res1.lane_iters is not None and res2.lane_iters is not None:
         lane_iters = res1.lane_iters + res2.lane_iters
