@@ -104,14 +104,15 @@ def main():
     x0 = np.asarray(rng.uniform(lo, hi, size=(B, a)))
     v_we = rng.standard_normal((B, 6))
     v_max = np.ones((B, a))
-    dik = lambda: robot.diff_ik_batch(x0, v_we, v_max)
+    dik = lambda: robot.diff_ik_batch(x0, v_we, v_max, rescue=False)
     results["diff_ik"] = timeit(dik, n=3) / 1  # per call
 
     # ik batched (speed mode, default tolerance) through the public API
     cfg = SolverConfig(max_restarts=8, max_iters=48)
     Bik = 1024
     ikt = lambda: robot.ik_batch(cfg, tr[:Bik], tt[:Bik], q[:Bik],
-                                 validate_seeds=False)
+                                 validate_seeds=False,
+                                 rescue_overflow=False)
     results["ik"] = timeit(ikt, n=3)
 
     lanes = {"fk": L, "objective": L, "gradient": L, "joint_jacobian": L,

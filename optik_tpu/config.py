@@ -81,8 +81,13 @@ class SolverConfig:
     # poses with the next slice of the deterministic restart stream, until
     # every pose converges or ``unlimited_rounds_cap`` rounds have run —
     # the deterministic analog of the reference's restart-until-max_time
-    # loop (lib.rs:273-277).  Entry points below the Robot facade
-    # (ik_sharded, cascade builders) treat 0 as a single round.
+    # loop (lib.rs:273-277).  Parity nuance: unlimited rounds target
+    # FOUND-ness, not Quality refinement — a Quality-mode pose found in
+    # round 1 keeps its best-of-DEFAULT_RESTARTS solution, whereas the
+    # reference's max_time loop keeps refining every pose's best until
+    # time expires; set max_restarts to a large explicit budget to widen
+    # the Quality selection pool instead.  Entry points below the Robot
+    # facade (ik_sharded, cascade builders) treat 0 as a single round.
     max_restarts: int = 0
     tol_f: float = 1e-6
     tol_df: float = -1.0

@@ -218,7 +218,7 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
                                         res.f.shape)
 
     @functools.partial(jax.jit, static_argnums=())
-    def solve(tgt_r, tgt_t, x0, restart_offset=None):
+    def solve(tgt_r, tgt_t, x0, restart_offset=None, lane0_stream=None):
         b = tgt_r.shape[0]
         if b % (p_blk * g):
             raise ValueError(
@@ -249,9 +249,23 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
         # Seeds laid out (A, rows, BG): row h*S is pack h's caller x0, rows
         # h*S+1 .. h*S+S-1 are the shared round-0 random seeds.
         x0_t = jnp.asarray(x0, dtype).T.reshape(a, g, bg)    # (A, G, BG)
+        # ``lane0_stream`` (traced bool scalar): replace the caller-x0 seed
+        # rows with the restart stream's OWN index-``off`` draw — the
+        # seed-sharded entry (parallel/mesh.build_seed_sharded_solver) sets
+        # this on every chip but the first so the union of per-chip attempt
+        # sets is exactly the global fold_in stream (chip 0 keeps x0 at
+        # restart index 0, like the reference's restart 0, lib.rs:366-370).
+        # Quality-mode seed distances still measure against the true x0
+        # (qx0 below derives from x0_t before this substitution).
+        seed0_t = x0_t
+        if lane0_stream is not None:
+            alt = tab_s[0, 0]                                # (A,) = draw(off)
+            seed0_t = jnp.where(lane0_stream,
+                                jnp.broadcast_to(alt[:, None, None],
+                                                 x0_t.shape), x0_t)
         row_list = []
         for h in range(g):
-            row_list.append(x0_t[:, h][:, None, :])          # seed 0
+            row_list.append(seed0_t[:, h][:, None, :])       # seed 0
             if s > 1:
                 rest = tab_s[0, 1:].T                        # (A, S-1)
                 row_list.append(
@@ -333,10 +347,13 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
             big = jnp.iinfo(jnp.int32).max
             sel_key = jnp.where(succ_b, ridx_b, big)
             idx = jnp.argmin(sel_key, axis=1)                    # (B,)
+            win_key = jnp.min(sel_key, axis=1)                   # (B,) i32
         else:
             # Quality: min seed distance among successes.
             dist = jnp.linalg.norm(xs - x0_arr[:, None, :], axis=-1)
-            idx = jnp.argmin(jnp.where(succ_b, dist, jnp.inf), axis=1)
+            keyed = jnp.where(succ_b, dist, jnp.inf)
+            idx = jnp.argmin(keyed, axis=1)
+            win_key = jnp.min(keyed, axis=1)                     # (B,) dtype
         onehot = idx[:, None] == jax.lax.broadcasted_iota(
             jnp.int32, (b, s), 1)                                # (B, S)
         # Select+reduce, NOT a one-hot matmul: dot_general would ride the
@@ -345,7 +362,7 @@ def build_kernel_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
         cost = jnp.sum(jnp.where(onehot, fs, 0.0), axis=1)
         iters = jnp.sum(jnp.where(onehot, sit_b, 0), axis=1)
         out = ik_mod.IKResult(found=jnp.any(succ_b, axis=1), x=x_win,
-                              cost=cost, iters=iters)
+                              cost=cost, iters=iters, sel_key=win_key)
         # Work accounting: every lane of a block runs its block's full loop
         # count, so total lane-iterations = sum over blocks x (rows*p_blk).
         lane_iters = jnp.sum(bit[0, ::p_blk]) * (rows * p_blk)

@@ -20,6 +20,7 @@ are convenience wrappers (one compile each, then O(100us) dispatch).
 
 from __future__ import annotations
 
+import os
 import warnings
 from typing import List, Optional, Tuple, Union
 
@@ -39,6 +40,11 @@ from .utils.precision import with_f32_matmuls
 # and returns are device arrays for batched entry points, numpy/lists for
 # the scalar reference-compatible ones).
 ArrayLike = Union[np.ndarray, jax.Array, "list", "tuple"]
+
+# Speed-mode batches at least this large route through the cascade
+# scheduler (module-level so tests can exercise the cascade path at small
+# batch sizes; see Robot.ik_batch).
+_CASCADE_MIN_BATCH = 1024
 
 
 def _default_dtype():
@@ -110,12 +116,14 @@ class Robot:
         """
         if getattr(self, "_kernel_broken", False):
             return None
-        try:
-            platform = jax.devices()[0].platform
-        except RuntimeError:
-            return None
-        if platform not in ("tpu", "axon"):
-            return None
+        interp = getattr(self, "_interpret", False)
+        if not interp:
+            try:
+                platform = jax.devices()[0].platform
+            except RuntimeError:
+                return None
+            if platform not in ("tpu", "axon"):
+                return None
         s = min(config.seed_batch, config.total_restarts)
         if s <= 16:
             p_blk = 256
@@ -135,7 +143,7 @@ class Robot:
 
                 fn = lm_kernel.build_kernel_solver(
                     self.spec, config, dtype=self.dtype, p_blk=p_blk,
-                    ee_offset=ee_offset)
+                    ee_offset=ee_offset, interpret=interp)
             except (RuntimeError, NotImplementedError, ValueError) as exc:
                 self._kernel_fallback(exc, "build")
                 return None
@@ -156,12 +164,14 @@ class Robot:
         """
         if getattr(self, "_kernel_broken", False):
             return None
-        try:
-            platform = jax.devices()[0].platform
-        except RuntimeError:
-            return None
-        if platform not in ("tpu", "axon"):
-            return None
+        interp = getattr(self, "_interpret", False)
+        if not interp:
+            try:
+                platform = jax.devices()[0].platform
+            except RuntimeError:
+                return None
+            if platform not in ("tpu", "axon"):
+                return None
         if config.solution_mode != SolutionMode.SPEED:
             return None  # Quality work is uniform; cascade has no referent
         s = min(config.seed_batch, config.total_restarts)
@@ -179,7 +189,7 @@ class Robot:
 
                 entry = cascade.build_default_solver(
                     self.spec, config, dtype=self.dtype,
-                    ee_offset=ee_offset)
+                    ee_offset=ee_offset, interpret=interp)
             except (RuntimeError, NotImplementedError, ValueError) as exc:
                 self._kernel_fallback(exc, "cascade build")
                 return None
@@ -189,7 +199,7 @@ class Robot:
     # --- constructors -----------------------------------------------------
 
     @staticmethod
-    def from_urdf_file(path: "str | __import__('os').PathLike",
+    def from_urdf_file(path: "str | os.PathLike[str]",
                        base_link: str, ee_link: str,
                        dtype=None) -> "Robot":
         return Robot(ChainSpec.from_urdf_file(path, base_link, ee_link),
@@ -210,13 +220,26 @@ class Robot:
         return self.spec.joint_limits()
 
     def set_parallelism(self, n: int) -> None:
-        """Reference-API compatibility no-op.
+        """Reference-API compatibility no-op (with a one-time note).
 
         The reference resizes its rayon pool (lib.rs:66-72); here occupancy
         is set by batch shapes (``SolverConfig.max_restarts`` /
         ``seed_batch`` and the pose batch size), so there is no pool to
-        resize.
+        resize.  In particular, the reference's documented determinism
+        recipe ``set_parallelism(1)`` (README.md:96) is unnecessary:
+        results here are deterministic unconditionally, at any batch size
+        or mesh shape.  A one-time info-level log says so, so reference
+        porters get a signal instead of a silent no-op.
         """
+        if not getattr(self, "_parallelism_noted", False):
+            import logging
+
+            logging.getLogger(__name__).info(
+                "optik_tpu: set_parallelism(%d) is a no-op — determinism "
+                "is unconditional here and occupancy is set by batch "
+                "shapes (seed_batch / pose batch size), not a thread "
+                "pool.", n)
+            self._parallelism_noted = True
 
     def random_configuration(self, rng: Optional[np.random.Generator] = None
                              ) -> np.ndarray:
@@ -397,6 +420,13 @@ class Robot:
         or ``config.unlimited_rounds_cap`` rounds have run.  Per-pose
         results are batch-size- and round-boundary-invariant: a pose's
         outcome depends only on its own restart stream.
+
+        Observability semantics: ``iters`` for a pose rescued in round
+        r > 0 reports the RESCUING round's iterations-to-converge, not a
+        cumulative count across rounds; ``lane_iters`` accumulates every
+        round's work, with the power-of-two pad rows' contribution (they
+        duplicate ``bad[-1]``) scaled out as ``n_real / bucket`` — an
+        estimate, since pad rows share tile blocks with real rows.
         """
         from .config import DEFAULT_RESTARTS
 
@@ -443,17 +473,75 @@ class Robot:
                 iters[idx] = np.asarray(sub.iters)[ok]
             found[idx] = True
             if lane_iters is not None and sub.lane_iters is not None:
-                lane_iters = lane_iters + sub.lane_iters
+                # Discount the duplicate pad rows' share of the round's
+                # work so the schedule-efficiency metric counts real poses
+                # (see docstring; exact per-row attribution isn't
+                # available from the block-level counter).
+                share = (sub.lane_iters * (n_real / float(bucket)))
+                lane_iters = lane_iters + share.astype(lane_iters.dtype)
         return ik_mod.IKResult(
             found=jnp.asarray(found), x=jnp.asarray(x, self.dtype),
             cost=jnp.asarray(cost, self.dtype),
             iters=None if iters is None else jnp.asarray(iters),
             lane_iters=lane_iters)
 
+    def _rescue_overflow(self, config: SolverConfig, res, tgt_r, tgt_t,
+                         x0j, ee_offset) -> ik_mod.IKResult:
+        """Re-solve every unconverged pose with the full single-shot budget.
+
+        Called (from :meth:`ik_batch`) only when the cascade reported a
+        capacity overflow, i.e. some poses kept a screen failure instead of
+        receiving their complete restart schedule.  Re-solving ALL
+        unconverged poses (not just the overflow — the device program
+        doesn't track which ones were denied) through the single-shot
+        kernel (``_restart_offset=0`` routes around the cascade) replays
+        exactly the full-budget schedule for each, so the merged found
+        mask equals the single-shot solver's.  Poses that genuinely fail
+        the full budget re-fail deterministically — wasted work, but
+        rescues only trigger past ~2.7x the measured random-workload
+        failure rate.
+        """
+        found = np.asarray(res.found).copy()
+        bad = np.flatnonzero(~found)
+        if bad.size == 0:
+            return res
+        n_real = bad.size
+        bucket = 1 << (n_real - 1).bit_length()
+        if bucket > n_real:
+            bad = np.concatenate([bad, np.full(bucket - n_real, bad[-1])])
+        tgt_r_np, tgt_t_np = np.asarray(tgt_r), np.asarray(tgt_t)
+        x0_np = np.asarray(x0j)
+        sub = self.ik_batch(config, tgt_r_np[bad], tgt_t_np[bad],
+                            x0_np[bad], ee_offset=ee_offset,
+                            validate_seeds=False, _restart_offset=0)
+        ok = np.asarray(sub.found)[:n_real]
+        bad = bad[:n_real]
+        idx = bad[ok]
+        x = np.asarray(res.x).copy()
+        cost = np.asarray(res.cost).copy()
+        iters = None if res.iters is None else np.asarray(res.iters).copy()
+        x[idx] = np.asarray(sub.x)[:n_real][ok]
+        cost[idx] = np.asarray(sub.cost)[:n_real][ok]
+        if iters is not None and sub.iters is not None:
+            iters[idx] = np.asarray(sub.iters)[:n_real][ok]
+        found[idx] = True
+        lane_iters = res.lane_iters
+        if lane_iters is not None and sub.lane_iters is not None:
+            share = sub.lane_iters * (n_real / float(bucket))
+            lane_iters = lane_iters + share.astype(lane_iters.dtype)
+        return ik_mod.IKResult(
+            found=jnp.asarray(found), x=jnp.asarray(x, self.dtype),
+            cost=jnp.asarray(cost, self.dtype),
+            iters=None if iters is None else jnp.asarray(iters),
+            lane_iters=lane_iters,
+            found_count=jnp.asarray(int(found.sum()), jnp.int32),
+            overflow_count=res.overflow_count)
+
     def ik_batch(self, config: SolverConfig, tgt_r: ArrayLike,
                  tgt_t: ArrayLike, x0: ArrayLike,
                  ee_offset: Optional[ArrayLike] = None,
                  validate_seeds: bool = True,
+                 rescue_overflow: bool = True,
                  _restart_offset: Optional[int] = None
                  ) -> ik_mod.IKResult:
         """Batched IK over B poses: (B,3,3), (B,3), (B,A) -> IKResult arrays.
@@ -469,6 +557,23 @@ class Robot:
         ``random_configuration``); an out-of-limits seed then merely wastes
         its lane (the first LM step projects back into the box) instead of
         raising.
+
+        ``rescue_overflow`` (cascade path only): the cascade's replay
+        phases have static capacities; a batch whose screen-failure rate
+        exceeds them (e.g. a curated all-hard batch) would silently leave
+        the overflow poses with less than their full restart budget.  The
+        solve counts those device-side (``IKResult.overflow_count``); with
+        ``rescue_overflow=True`` (default) this method fetches that scalar
+        (one blocking device round trip per call) and, when non-zero,
+        re-solves every unconverged pose with the full single-shot budget
+        — restoring the per-pose budget contract the reference guarantees
+        (lib.rs:273-277) at any failure rate.  Pipelined callers pass
+        ``False`` (like ``validate_seeds=False``) and check
+        ``overflow_count`` themselves; random reachable workloads have
+        ~2.7x capacity headroom, so rescues are rare.  After a rescue,
+        ``overflow_count`` still reports the pre-rescue count (capacity
+        pressure observability); the found mask matches the single-shot
+        schedule.
 
         ``config.max_restarts == 0`` engages unlimited-restart rounds
         (see :meth:`_ik_batch_unlimited`).
@@ -515,7 +620,7 @@ class Robot:
         # Unlimited-restart continuation rounds use the single-shot kernel:
         # the cascade's screen phases don't thread the stream offset, and
         # round > 0 batches are the compacted hard poses anyway.
-        if tgt_r.shape[0] >= 1024 and _restart_offset is None:
+        if tgt_r.shape[0] >= _CASCADE_MIN_BATCH and _restart_offset is None:
             kentry = self._cascade_solver(config, ee_pair)
         if kentry is None:
             kentry = self._kernel_solver(config, ee_pair)
@@ -558,6 +663,14 @@ class Robot:
                         cost=res.cost[:b],
                         iters=None if res.iters is None else res.iters[:b],
                         found_count=None)
+                # The winner-selection key is internal plumbing for the
+                # seed-sharded merge (parallel/mesh.py), not public API.
+                res = res._replace(sel_key=None)
+                if (rescue_overflow and _restart_offset is None
+                        and res.overflow_count is not None
+                        and int(res.overflow_count) > 0):
+                    res = self._rescue_overflow(config, res, tgt_r, tgt_t,
+                                                x0j, ee_offset)
                 return res
 
         fn = self._solver(config)
@@ -602,11 +715,58 @@ class Robot:
         return (float(alpha[0]),
                 list(np.asarray(v[0], dtype=np.float64)))
 
+    def _diffik_rescue(self, alpha, v, ok_np, bad, x0, v_we, v_max,
+                       ee_r, ee_t):
+        """Re-solve ok=False lanes with the iterative ADMM path and merge.
+
+        The exact gauge enumeration reports ok=False on ~0.02-0.05% of
+        random instances — degenerate geometry (rank-deficient J with V in
+        its range) its facet cuts cannot certify.  The reference's
+        Clarabel interior-point solves most of these (lib.rs:216-228); the
+        ADMM formulation (solver/diffik.diff_ik_admm_batch) is the
+        same-capability iterative fallback, so re-solving just the failed
+        lanes recovers Clarabel-parity ok rates at negligible cost.  Lanes
+        the ADMM also rejects stay ok=False (honest gate).  The failed set
+        pads to a power-of-two bucket to bound compile shapes.
+        """
+        from .solver import diffik
+
+        n_real = bad.size
+        bucket = 1 << (n_real - 1).bit_length()
+        if bucket > n_real:
+            bad = np.concatenate([bad, np.full(bucket - n_real, bad[-1])])
+        x0_np, vwe_np = np.asarray(x0), np.asarray(v_we)
+        vm_np = np.asarray(v_max)
+        sa, sv, sk = diffik.diff_ik_admm_batch(
+            self.params, jnp.asarray(x0_np[bad], self.dtype),
+            jnp.asarray(vwe_np[bad], self.dtype),
+            jnp.asarray(vm_np[bad], self.dtype), ee_r, ee_t)
+        bad = bad[:n_real]
+        sub_ok = np.asarray(sk)[:n_real]
+        idx = bad[sub_ok]
+        a_np = np.asarray(alpha).copy()
+        v_np = np.asarray(v).copy()
+        a_np[idx] = np.asarray(sa)[:n_real][sub_ok]
+        v_np[idx] = np.asarray(sv)[:n_real][sub_ok]
+        ok_np = ok_np.copy()
+        ok_np[idx] = True
+        return (jnp.asarray(a_np, self.dtype),
+                jnp.asarray(v_np, self.dtype), jnp.asarray(ok_np))
+
     def diff_ik_batch(self, x0: ArrayLike, V_WE: ArrayLike,
                       v_max: ArrayLike,
-                      ee_offset: Optional[ArrayLike] = None
+                      ee_offset: Optional[ArrayLike] = None,
+                      rescue: bool = True
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """Batched diff-IK: (B,A), (B,6), (B,A) -> (alpha (B,), v (B,A), ok (B,))."""
+        """Batched diff-IK: (B,A), (B,6), (B,A) -> (alpha (B,), v (B,A), ok (B,)).
+
+        ``rescue`` (default True): re-solve any ok=False lanes of the
+        exact gauge path with the iterative ADMM solver and merge (see
+        :meth:`_diffik_rescue`) — Clarabel-parity behavior on degenerate
+        geometry.  The check fetches the ok mask (one blocking device
+        round trip per call); pipelined throughput callers pass ``False``
+        (the bench does) and handle ok lanes themselves.
+        """
         from .solver import diffik
 
         ee_r, ee_t = self._ee_offset(ee_offset)
@@ -615,7 +775,14 @@ class Robot:
         v_max = jnp.asarray(v_max, self.dtype)
         fn = self._diffik_solver()
         if fn is not None:
-            return fn(x0, v_we, v_max, ee_r, ee_t)
+            alpha, v, ok = fn(x0, v_we, v_max, ee_r, ee_t)
+            if rescue:
+                ok_np = np.asarray(ok)
+                bad = np.flatnonzero(~ok_np)
+                if bad.size:
+                    alpha, v, ok = self._diffik_rescue(
+                        alpha, v, ok_np, bad, x0, v_we, v_max, ee_r, ee_t)
+            return alpha, v, ok
         return diffik.diff_ik_admm_batch(self.params, x0, v_we, v_max,
                                          ee_r, ee_t)
 

@@ -71,8 +71,14 @@ def _compact(found, cost, tgt_r, tgt_t, x0, b2):
     Ordering failures by descending screen cost clusters the poses that
     will burn the next phase's full budget into the same tile blocks, so
     every other block's lockstep loop exits early — pose results are
-    order-independent (each pose's lanes are self-contained), so this
-    changes lane-iterations only, never the found mask or solutions.
+    order-independent (each pose's lanes are self-contained), so absent
+    compaction overflow this changes lane-iterations only, never the found
+    mask or solutions.  When failures exceed b2 (overflow), the
+    hardest-first order selects a different surviving subset than a
+    stable-original-order compaction would, so the found mask can differ
+    from the old schedule's — the overflow itself is surfaced on
+    ``IKResult.overflow_count`` and rescued at the Robot layer
+    (robot.ik_batch rescue_overflow).
     Found poses keep stable original order at the tail, so any capacity
     filler is the easy poses (their blocks exit immediately).  NaN costs
     sort with the hardest (a NaN-cost failure must keep its full-budget
@@ -222,10 +228,17 @@ def build_multiphase_solver(spec, cfg: SolverConfig, *, screens,
             tgt_r, tgt_t, x0 = tgt_r[order], tgt_t[order], x0[order]
         stack = []  # (res_i, idx_into_parent) per screen
         tr, tt, xs = tgt_r, tgt_t, x0
+        # Poses whose failures exceed a compaction's capacity keep their
+        # screen failure instead of the full budget; count them device-side
+        # so the caller can observe (and rescue) the contract break without
+        # any extra dispatch (IKResult.overflow_count).
+        overflow = jnp.zeros((), jnp.int32)
         for (fn, keep_div), unit in zip(solvers, units):
             res = fn(tr, tt, xs)
             b = tr.shape[0]
             nxt = min(b, -(-max(b // keep_div, 1) // unit) * unit)
+            n_fail = jnp.sum((~res.found).astype(jnp.int32))
+            overflow = overflow + jnp.maximum(0, n_fail - nxt)
             idx, tr, tt, xs = _compact(res.found, res.cost, tr, tt, xs, nxt)
             stack.append((res, idx))
         out = final(tr, tt, xs)
@@ -238,7 +251,8 @@ def build_multiphase_solver(spec, cfg: SolverConfig, *, screens,
         # Device-side found count: chained callers fetch this instead of
         # dispatching a separate per-batch sum (see IKResult.found_count).
         return out._replace(
-            found_count=jnp.sum(out.found.astype(jnp.int32)))
+            found_count=jnp.sum(out.found.astype(jnp.int32)),
+            overflow_count=overflow)
 
     return solve
 

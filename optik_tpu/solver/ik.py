@@ -55,6 +55,17 @@ class IKResult(NamedTuple):
     # device every extra execution costs ~2 ms of queue overhead.  None
     # when the solve didn't compute it (or padding invalidated it).
     found_count: Optional[jnp.ndarray] = None
+    # Per-pose winner-selection key for cross-chip merging (seed-sharded
+    # path, parallel/mesh.build_seed_sharded_solver): Speed mode = the
+    # winning restart index (int32; INT32_MAX when not found), Quality mode
+    # = the winning seed distance (dtype; +inf when not found).  None when
+    # the solver didn't compute it.
+    sel_key: Optional[jnp.ndarray] = None
+    # Count of poses whose post-screen failures overflowed the cascade's
+    # final-phase capacity and therefore did NOT receive the full restart
+    # budget (scalar int32; see solver/cascade.py).  0 on the single-shot
+    # paths (no capacity to overflow); None when not tracked.
+    overflow_count: Optional[jnp.ndarray] = None
 
 
 def options_from_config(cfg: SolverConfig) -> lm.LMOptions:
