@@ -168,19 +168,29 @@ def main():
             # the synced number measures the tunnel, not the engine.
             # Pipelining is the deployment shape (the reference's own
             # benchmark keeps its machine saturated, examples/example.py).
+            # Chain depth: the r5 depth sweep (artifacts/r05_main.out
+            # "depth") measured 28.2 -> 24.6 -> 22.5 -> 21.3 ms/batch at
+            # depths 4/8/16/32 — per-dispatch relay overhead amortizes
+            # until the chain rides the device-busy bound (~20.8 ms,
+            # artifacts/PROFILE_r04.md).  Deployment shape is a continuous
+            # stream, so the headline chains the set REPS times (distinct
+            # batches cycling; depth = iters * reps = 24 by default).
+            reps = int(os.environ.get("OPTIK_BENCH_PIPE_REPS", 8))
+
             def pipe_pass():
                 t1 = time.perf_counter()
                 acc = None
-                for tr, tt, x0 in batches:
-                    res = solve(tr, tt, x0)
-                    # found_count is computed inside the solve program
-                    # (IKResult.found_count) — a separate sum would cost
-                    # one more queued execution per batch on the relay.
-                    c = res.found_count if res.found_count is not None \
-                        else jnp.sum(res.found.astype(jnp.int32))
-                    acc = c if acc is None else acc + c
+                for _ in range(reps):
+                    for tr, tt, x0 in batches:
+                        res = solve(tr, tt, x0)
+                        # found_count is computed inside the solve program
+                        # (IKResult.found_count) — a separate sum would
+                        # cost one more queued execution per batch.
+                        c = res.found_count if res.found_count is not None \
+                            else jnp.sum(res.found.astype(jnp.int32))
+                        acc = c if acc is None else acc + c
                 _ = int(acc)  # single device->host fetch = the sync point
-                return (time.perf_counter() - t1) / iters
+                return (time.perf_counter() - t1) / (iters * reps)
 
             pipe_pass()  # warm the relay's chained-dispatch path
             pipe_pass()  # (first chains after a sync run ~15% slow)

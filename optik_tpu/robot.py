@@ -427,6 +427,15 @@ class Robot:
         round's work, with the power-of-two pad rows' contribution (they
         duplicate ``bad[-1]``) scaled out as ``n_real / bucket`` — an
         estimate, since pad rows share tile blocks with real rows.
+
+        The round loop is host-ORCHESTRATED but device-RESIDENT: per round
+        the host fetches only the sub-batch's found mask (a few KB) and
+        uploads the gather/scatter index vectors; targets, solutions and
+        costs never cross the wire (round 4 fetched and re-uploaded the
+        full (B, A) arrays every round — 16x the single-round wall at
+        B=128k with a 0.5% hard tail, artifacts/r05_main.out "unlimited").
+        Merges use the cascade's sink-row scatter trick so every round's
+        executables are shape-bounded by the power-of-two bucket.
         """
         from .config import DEFAULT_RESTARTS
 
@@ -438,12 +447,21 @@ class Robot:
         if found.all() or cap == 1:
             return res
 
-        tgt_r_np, tgt_t_np = np.asarray(tgt_r), np.asarray(tgt_t)
-        x0_np = np.asarray(x0)
-        x = np.asarray(res.x).copy()
-        cost = np.asarray(res.cost).copy()
-        iters = None if res.iters is None else np.asarray(res.iters).copy()
+        b = found.shape[0]
+        tgt_r_d = jnp.asarray(tgt_r, self.dtype)
+        tgt_t_d = jnp.asarray(tgt_t, self.dtype)
+        x0_d = jnp.asarray(x0, self.dtype)
+        x, cost = res.x, res.cost
+        iters = res.iters
         lane_iters = res.lane_iters
+
+        def put(dst, src, idxe):
+            # Sink-row scatter (see cascade._merge): rows to keep are
+            # redirected to a discarded row appended past the batch.
+            pad = jnp.zeros((1,) + dst.shape[1:], dst.dtype)
+            return jnp.concatenate([dst, pad], axis=0).at[idxe].set(
+                src)[:b]
+
         for r in range(1, cap):
             bad = np.flatnonzero(~found)
             if bad.size == 0:
@@ -456,22 +474,21 @@ class Robot:
             if bucket > n_real:
                 bad = np.concatenate(
                     [bad, np.full(bucket - n_real, bad[-1])])
-            sub = self.ik_batch(base, tgt_r_np[bad], tgt_t_np[bad],
-                                x0_np[bad], ee_offset=ee_offset,
+            bad_d = jnp.asarray(bad)
+            sub = self.ik_batch(base, tgt_r_d[bad_d], tgt_t_d[bad_d],
+                                x0_d[bad_d], ee_offset=ee_offset,
                                 validate_seeds=False,
                                 _restart_offset=r * DEFAULT_RESTARTS)
-            bad = bad[:n_real]
-            ok = np.asarray(sub.found)[:n_real]
-            sub = sub._replace(
-                found=sub.found[:n_real], x=sub.x[:n_real],
-                cost=sub.cost[:n_real],
-                iters=None if sub.iters is None else sub.iters[:n_real])
-            idx = bad[ok]
-            x[idx] = np.asarray(sub.x)[ok]
-            cost[idx] = np.asarray(sub.cost)[ok]
+            # The ONLY device->host fetch of the round: the bucket's found
+            # mask (duplicates masked out host-side).
+            ok = np.array(sub.found)
+            ok[n_real:] = False
+            idxe = jnp.asarray(np.where(ok, bad, b))  # b = sink row
+            x = put(x, sub.x, idxe)
+            cost = put(cost, sub.cost, idxe)
             if iters is not None and sub.iters is not None:
-                iters[idx] = np.asarray(sub.iters)[ok]
-            found[idx] = True
+                iters = put(iters, sub.iters, idxe)
+            found[bad[:n_real][ok[:n_real]]] = True
             if lane_iters is not None and sub.lane_iters is not None:
                 # Discount the duplicate pad rows' share of the round's
                 # work so the schedule-efficiency metric counts real poses
@@ -480,9 +497,7 @@ class Robot:
                 share = (sub.lane_iters * (n_real / float(bucket)))
                 lane_iters = lane_iters + share.astype(lane_iters.dtype)
         return ik_mod.IKResult(
-            found=jnp.asarray(found), x=jnp.asarray(x, self.dtype),
-            cost=jnp.asarray(cost, self.dtype),
-            iters=None if iters is None else jnp.asarray(iters),
+            found=jnp.asarray(found), x=x, cost=cost, iters=iters,
             lane_iters=lane_iters)
 
     def _rescue_overflow(self, config: SolverConfig, res, tgt_r, tgt_t,

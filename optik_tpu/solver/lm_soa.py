@@ -60,6 +60,11 @@ class LoopOut(NamedTuple):
     # the lane never succeeded) — the iterations-to-converge observability
     # signal surfaced through IKResult.iters.
     succ_iters: Optional[jnp.ndarray] = None
+    # Per-lane iterations executed before the lane stopped (its restart
+    # chain's total useful length) — the schedule-efficiency probe behind
+    # the Quality-mode roofline analysis (benchmarks/exp_r05_qprobe.py).
+    # Only tracked when lm_loop(track_active=True); None otherwise.
+    active_iters: Optional[jnp.ndarray] = None
 
 
 def lm_loop(consts, lower, upper, opts: LMOptions,
@@ -74,7 +79,8 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
             explore_full_budget: bool = False,
             qx0=None,               # A components: caller's seed (quality)
             group_success_cap: Optional[int] = None,
-            unroll: int = 1
+            unroll: int = 1,
+            track_active: bool = False
             ) -> LoopOut:
     """The lockstep LM loop on component lists (see module docstring).
 
@@ -166,14 +172,17 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
             one_i,                             # pending: adopt x this iter
             best0,
             zero_i,                            # iters at first success
-            zero_i)                            # completed successful attempts
+            zero_i,                            # completed successful attempts
+            # Active-iteration probe: lane-shaped only when tracking (a
+            # scalar otherwise, so the kernel path's carry is unchanged).
+            zero_i if track_active else jnp.zeros((), jnp.int32))
 
     def cond(c):
         return (c[8] < max_total_iters) & ~jnp.all(c[6] > 0)
 
     def body(c):
         (xs_t, e_t, jt_flat, f, lam, nu, stopped_i, success_i, it,
-         cur_idx, it_lane, pending_i, best, succ_it, succ_cnt) = c
+         cur_idx, it_lane, pending_i, best, succ_it, succ_cnt, act) = c
         stopped = stopped_i > 0
         success = success_i > 0
         pending = pending_i > 0
@@ -256,6 +265,8 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
         newly_stuck = lam_next >= opts.lam_max
 
         run = ~stopped
+        if track_active:
+            act = act + run.astype(jnp.int32)
         succ_now = newly_f
         if opts.df_is_success:
             succ_now = succ_now | newly_df
@@ -376,7 +387,7 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
                 lam_next, nu_next, stopped.astype(jnp.int32),
                 success.astype(jnp.int32), it + 1,
                 cur_idx_next, it_next, pending_next.astype(jnp.int32), best,
-                succ_it, succ_cnt)
+                succ_it, succ_cnt, act)
 
     if unroll > 1:
         body1 = body
@@ -387,13 +398,15 @@ def lm_loop(consts, lower, upper, opts: LMOptions,
             return c
 
     out = jax.lax.while_loop(cond, body, init)
+    act_out = out[15] if track_active else None
     if track_best:
         bx, bd, bf, bi = out[12]
         return LoopOut(xs=bx, f=bf, success=jnp.isfinite(bd), iters=out[8],
-                       restart_index=bi, succ_iters=out[13])
+                       restart_index=bi, succ_iters=out[13],
+                       active_iters=act_out)
     return LoopOut(xs=out[0], f=out[3], success=out[7] > 0, iters=out[8],
                    restart_index=out[9] if reseed else None,
-                   succ_iters=out[13])
+                   succ_iters=out[13], active_iters=act_out)
 
 
 def solve_soa(consts, lower, upper, opts: LMOptions,

@@ -314,3 +314,64 @@ def test_unlimited_restarts_on_device(robot):
     # All rescued solutions satisfy the tolerance.
     cost_u = np.asarray(ru.cost)
     assert np.all(cost_u[fu] <= cfg1.tol_f * 1.001)
+
+
+def test_seed_sharded_degenerate_on_device(robot):
+    """The seed-sharded entry's compiled Mosaic path on the (1, 1)
+    degenerate mesh: bitwise identical to the plain single-shot kernel
+    (off=0, lane0_stream False -> same schedule), exercising the
+    shard_map + pmin/psum merge through the real compiler."""
+    from optik_tpu.ops.pallas import lm_kernel
+    from optik_tpu.parallel import mesh as mesh_mod
+
+    cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=32)
+    tr, tt, x0 = make_problem(robot, 2048, seed=9)
+    mesh = mesh_mod.make_mesh(jax.devices()[:1], data=1, seed=1)
+    sfn = mesh_mod.build_seed_sharded_solver(robot, cfg, mesh,
+                                             interpret=False)
+    got = sfn(tr, tt, x0)
+    ref = lm_kernel.build_kernel_solver(robot.spec, cfg, jnp.float32,
+                                        p_blk=256)(tr, tt, x0)
+    gf, rf = np.asarray(got.found), np.asarray(ref.found)
+    np.testing.assert_array_equal(gf, rf)
+    np.testing.assert_array_equal(np.asarray(got.x)[rf],
+                                  np.asarray(ref.x)[rf])
+    np.testing.assert_array_equal(np.asarray(got.cost)[rf],
+                                  np.asarray(ref.cost)[rf])
+    assert rf.any()
+    # Not-found sentinel contract.
+    np.testing.assert_array_equal(np.asarray(got.x)[~gf],
+                                  np.asarray(x0)[~gf])
+
+
+def test_cascade_overflow_rescue_on_device(robot):
+    """Public ik_batch budget contract on a curated hard batch through the
+    compiled cascade: rescue restores the single-shot found mask."""
+    from optik_tpu import robot as robot_mod
+    from optik_tpu.ops.pallas import lm_kernel
+
+    cfg = SolverConfig(max_restarts=24, seed_batch=8, max_iters=16)
+    # Find screen-hard poses: fail the 8-restart screen, solvable at 24.
+    tr, tt, x0 = make_problem(robot, 2048, seed=11)
+    k_scr = lm_kernel.build_kernel_solver(
+        robot.spec, cfg.replace(max_restarts=8), jnp.float32, p_blk=256)
+    k_full = lm_kernel.build_kernel_solver(robot.spec, cfg, jnp.float32,
+                                           p_blk=256)
+    scr = np.asarray(k_scr(tr, tt, x0).found)
+    ref = k_full(tr, tt, x0)
+    full = np.asarray(ref.found)
+    hard = np.flatnonzero(~scr & full)
+    easy = np.flatnonzero(scr)
+    if hard.size < 1:
+        pytest.skip("no screen-hard poses in this sample")
+    # 1024-pose batch: 600 hard replicas exceed the 2-phase schedule's
+    # 256-pose replay capacity (keep_div 8, unit-rounded).
+    idx = np.concatenate([np.resize(hard, 600), easy[:424]])
+    trh = jnp.asarray(np.asarray(tr)[idx])
+    tth = jnp.asarray(np.asarray(tt)[idx])
+    x0h = jnp.asarray(np.asarray(x0)[idx])
+    res = robot.ik_batch(cfg, trh, tth, x0h, validate_seeds=False)
+    ref_h = k_full(trh, tth, x0h)
+    np.testing.assert_array_equal(np.asarray(res.found),
+                                  np.asarray(ref_h.found))
+    assert res.overflow_count is None or int(res.overflow_count) >= 0
