@@ -228,12 +228,14 @@ def main():
     # --- config 5: 1M-pose motion-planning workload ----------------------
     cfg = SolverConfig(max_restarts=64, seed_batch=8, max_iters=32)
     # Chunk size is a dispatch-amortization knob: per-execution relay
-    # overhead measured 0.5-13 ms depending on the day (PARITY r4 note),
-    # so production-shaped sweeps use 32k-pose chunks (device work ~7 ms
-    # per chunk >> dispatch).  OPTIK_MP_CHUNK=8192 reproduces the r3
-    # methodology exactly.
+    # overhead measured 0.5-13 ms depending on the day (PARITY r4 note).
+    # Default 64k: the r5 full-sweep comparison recorded 2.97M solves/s
+    # at 32k chunks vs 5.31M at 64k (spread 35% vs 1.1%,
+    # artifacts/r05_workloads3/4.out) — device work per chunk must stay
+    # well above the day's dispatch cost.  OPTIK_MP_CHUNK=8192 reproduces
+    # the r3 methodology exactly.
     import os as _os
-    chunk = int(_os.environ.get("OPTIK_MP_CHUNK", 32768))
+    chunk = int(_os.environ.get("OPTIK_MP_CHUNK", 65536))
     # 4 chunks = 131k poses by default; OPTIK_MP_CHUNKS=30 runs the full
     # ~1M-pose sweep (983,040 poses at the default chunk).
     n_chunks = int(_os.environ.get("OPTIK_MP_CHUNKS", 131072 // chunk))
