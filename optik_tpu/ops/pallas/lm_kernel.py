@@ -46,14 +46,18 @@ from ...solver.lm_soa import lm_loop
 _ROWS = 8  # f32 tile sublane count: the physical row dimension of all lanes
 
 # Loop-body applications per while-loop condition check (identical schedule
-# semantics for any value; see solver/lm_soa.lm_loop unroll).  MEASURED
-# NEUTRAL on v5e (artifacts/bench_r03i_unroll1.out: 3.48M solves/s at
-# unroll=1 vs 3.46M at 2, within noise) — Mosaic's loop-condition cost is
-# not significant — so the default is 1 (half the kernel compile time).
-# The knob stays for other chips/configs: OPTIK_KERNEL_UNROLL.
+# semantics for any value; see solver/lm_soa.lm_loop unroll).  The r3
+# depth-4 measurement called this neutral (3.48M vs 3.46M,
+# artifacts/bench_r03i_unroll1.out), but depth-4 chains carry ~5 ms/batch
+# of relay dispatch noise; the r5 depth-16 sweep (artifacts/r05_sched.out)
+# resolves a real win — 20.3 vs 21.1 ms per 128k batch (6.46M vs 6.21M
+# solves/s) at unroll=2, identical found set (lane-iters/solve rises
+# 219.7 -> 228.3 from trailing no-op body applications: cheaper than the
+# serialized loop-condition checks they replace).  Cost: ~2x kernel
+# compile time, paid once per cache. The knob: OPTIK_KERNEL_UNROLL.
 import os as _os
 
-DEFAULT_UNROLL = int(_os.environ.get("OPTIK_KERNEL_UNROLL", "1"))
+DEFAULT_UNROLL = int(_os.environ.get("OPTIK_KERNEL_UNROLL", "2"))
 
 
 def fold_ee_offset(consts, ee_offset):

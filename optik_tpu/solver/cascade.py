@@ -291,7 +291,12 @@ def build_default_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
     """
     s = min(cfg.seed_batch, cfg.total_restarts)
     pack = _pack(s)
-    p1 = p_blk or 1024
+    # Screen tile 512: the r5 depth-16 sweep (artifacts/r05_sched.out —
+    # dispatch noise finally amortized enough to resolve tile effects)
+    # measured 21.1 / 22.0 / 23.15 ms per 128k batch at p_blk 512 / 1024 /
+    # 2048, identical found set and lane-iters/solve: the narrower screen
+    # block reduces straggler coupling at no occupancy cost.
+    p1 = p_blk or 512
     p2 = min(256, p1)
     screen_iters = max(1, (3 * cfg.max_iters) // 8)
     mid_iters = max(1, (3 * cfg.max_iters) // 4)
