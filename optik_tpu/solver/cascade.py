@@ -298,8 +298,16 @@ def build_default_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
     # block reduces straggler coupling at no occupancy cost.
     p1 = p_blk or 512
     p2 = min(256, p1)
-    screen_iters = max(1, (3 * cfg.max_iters) // 8)
-    mid_iters = max(1, (3 * cfg.max_iters) // 4)
+    # Screen/mid per-attempt caps at 5/16 and 5/8 of max_iters (10/20 for
+    # the default 32): the r5 depth-16 sweep (artifacts/r05_sched2.out)
+    # measured 19.91 ms/128k-batch at 10/20 vs ~20.3 at the r4 ratios
+    # 12/24 — identical found set (the final phase replays the full
+    # budget), lane-iters/solve 224.4 vs 228.3.  Tighter caps (10/20 ->
+    # s10_m24, s14_m24, s12_m28) all measured worse; capacity knobs stay
+    # generous per the r4 finding that tight finals eat the overflow
+    # margin.
+    screen_iters = max(1, (5 * cfg.max_iters) // 16)
+    mid_iters = max(1, (5 * cfg.max_iters) // 8)
     if cfg.total_restarts > 3 * s:
         solve = build_multiphase_solver(
             spec, cfg,
