@@ -104,7 +104,7 @@ class Robot:
             RuntimeWarning, stacklevel=3)
 
     def _kernel_solver(self, config: SolverConfig, ee_offset=None):
-        """(solver, p_blk) on the Pallas path, or None when unavailable.
+        """(solver, block_unit) on the Pallas path, or None when unavailable.
 
         Only used on TPU backends (the kernel targets Mosaic); a build
         failure falls back to the XLA path for this robot with a warning
@@ -131,6 +131,14 @@ class Robot:
             p_blk = 128
         else:
             return None  # too much per-block state; XLA path handles it
+        # The batch-granularity unit is p_blk TIMES the pose-pack factor:
+        # s < 8 seed lanes pack 8 // s poses per tile column (lm_kernel),
+        # so padding to bare p_blk under-pads and the kernel rejects the
+        # batch (r5 bug: seed_batch<=4 configs at small B silently fell
+        # back to the XLA path).
+        from .ops.pallas import lm_kernel as _lmk
+
+        pack = _lmk._ROWS // s if _lmk._ROWS % s == 0 else 1
         ee_key = None
         if ee_offset is not None:
             ee_key = (np.asarray(ee_offset[0], np.float64).tobytes()
@@ -147,7 +155,7 @@ class Robot:
             except (RuntimeError, NotImplementedError, ValueError) as exc:
                 self._kernel_fallback(exc, "build")
                 return None
-            entry = (fn, p_blk)
+            entry = (fn, p_blk * pack)
             self._solvers[key] = entry
         return entry
 
@@ -456,11 +464,9 @@ class Robot:
         lane_iters = res.lane_iters
 
         def put(dst, src, idxe):
-            # Sink-row scatter (see cascade._merge): rows to keep are
-            # redirected to a discarded row appended past the batch.
-            pad = jnp.zeros((1,) + dst.shape[1:], dst.dtype)
-            return jnp.concatenate([dst, pad], axis=0).at[idxe].set(
-                src)[:b]
+            # Drop-mode scatter (see cascade._merge): rows to keep are
+            # redirected to the out-of-bounds index b and dropped.
+            return dst.at[idxe].set(src, mode="drop")
 
         for r in range(1, cap):
             bad = np.flatnonzero(~found)

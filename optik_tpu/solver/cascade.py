@@ -95,22 +95,21 @@ def _compact(found, cost, tgt_r, tgt_t, x0, b2):
 def _merge(res1, idx, res2):
     """Overlay phase-2 results onto the parent where they add found-ness.
 
-    Rows the parent should KEEP are redirected to a sink row appended
-    past the batch (and sliced off), so the merge is pure scatters with
-    no per-field parent-row gathers.  Measured NEUTRAL end-to-end on v5e
-    (27.50 vs 27.57 ms/128k-batch, artifacts/r04_merge.out — XLA already
-    fused the where() form's gathers into the scatter); kept for the
-    simpler scatter story.  Values are bit-identical to the where()
-    form: a pose takes res2 exactly when it failed res1 and res2 found
-    it.
+    Rows the parent should KEEP are redirected to the out-of-bounds index
+    ``b`` and DROPPED by the scatter (``mode="drop"``), so the merge is
+    pure scatters with no per-field parent-row gathers and no sink-row
+    concatenate/slice pair (the r4 concat form materialized a full
+    parent copy per field per merge level — the largest XLA-glue item in
+    the r5 device profile, artifacts/PROFILE_r05.md).  Values are
+    bit-identical to the where() form: a pose takes res2 exactly when it
+    failed res1 and res2 found it.
     """
     b = res1.found.shape[0]
     take2 = ~res1.found[idx] & res2.found
-    idx_eff = jnp.where(take2, idx, b)  # b = discarded sink row
+    idx_eff = jnp.where(take2, idx, b)  # b = out of bounds -> dropped
 
     def put(dst, src):
-        pad = jnp.zeros((1,) + dst.shape[1:], dst.dtype)
-        return jnp.concatenate([dst, pad], axis=0).at[idx_eff].set(src)[:b]
+        return dst.at[idx_eff].set(src, mode="drop")
 
     found = put(res1.found, res2.found)
     x = put(res1.x, res2.x)

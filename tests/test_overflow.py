@@ -121,3 +121,28 @@ def test_easy_batch_zero_overflow(robot, monkeypatch):
                          validate_seeds=False)
     assert int(res.overflow_count) == 0
     assert np.asarray(res.found).mean() > 0.95
+
+
+def test_packed_kernel_padding_unit(monkeypatch):
+    """seed_batch < 8 pose-packs the kernel tile, so ik_batch must pad to
+    p_blk * pack — padding to bare p_blk made the kernel reject the batch
+    and permanently fall back to the XLA path (r5 regression test)."""
+    import warnings
+
+    robot = Robot.from_urdf_file(asset_path("panda.urdf"), "panda_link0",
+                                 "panda_hand_tcp", dtype=jnp.float32)
+    robot._interpret = True
+    rng = np.random.default_rng(2)
+    lo, hi = robot.joint_limits()
+    qt = rng.uniform(lo, hi, size=(64, 7))
+    tr, tt = robot.fk_batch(qt)
+    x0 = rng.uniform(lo, hi, size=(64, 7)).astype(np.float32)
+    cfg = SolverConfig(max_restarts=16, seed_batch=4, max_iters=8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any kernel-fallback warning fails
+        res = robot.ik_batch(cfg, np.asarray(tr, np.float32),
+                             np.asarray(tt, np.float32), x0)
+    assert not getattr(robot, "_kernel_broken", False)
+    found = np.asarray(res.found)
+    assert found.any()
+    assert np.all(np.asarray(res.cost)[found] <= cfg.tol_f * (1 + 1e-6))
