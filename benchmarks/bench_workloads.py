@@ -236,9 +236,11 @@ def main():
     # the r3 methodology exactly.
     import os as _os
     chunk = int(_os.environ.get("OPTIK_MP_CHUNK", 65536))
-    # 4 chunks = 131k poses by default; OPTIK_MP_CHUNKS=30 runs the full
+    # Default: 4 chunks = 262k poses (a floor of 4 keeps the sweep's chain
+    # deep enough to amortize dispatch); OPTIK_MP_CHUNKS=15 runs the full
     # ~1M-pose sweep (983,040 poses at the default chunk).
-    n_chunks = int(_os.environ.get("OPTIK_MP_CHUNKS", 131072 // chunk))
+    n_chunks = int(_os.environ.get("OPTIK_MP_CHUNKS",
+                                   max(4, 131072 // chunk)))
     # validate_seeds=False: chunk seeds are uniform-in-limits by
     # construction, and the per-call device-bool fetch of the validation
     # would serialize the chunk pipeline (robot.ik_batch docstring).
