@@ -263,15 +263,15 @@ def build_default_solver(spec, cfg: SolverConfig, dtype=jnp.float32,
 
     Returns ``(solve, block_unit)``: B must be a multiple of block_unit.
 
-    Three phases when the restart budget allows (v5e round-4 sweep,
-    artifacts/r04_main.out "sched" — 4.76M Panda solves/s at 227
-    lane-iters/solve vs 3.78M at 308 for the round-3 schedule, identical
-    found set):
+    Three phases when the restart budget allows (v5e sweeps: round-4
+    artifacts/r04_main.out "sched", round-5 r05_sched.out/r05_sched2.out
+    at the noise-free depth-16 protocol — identical found set at every
+    promoted step):
 
-      screen  every pose, 1 round of S lanes at ~3/8 max_iters, wide
-              tile (the iters-to-converge histogram puts ~87% of poses
-              at <= 12 of 32 iterations — a longer screen buys nothing);
-      mid     failed quarter, 2 rounds at ~3/4 max_iters;
+      screen  every pose, 1 round of S lanes at 5/16 max_iters (10 of
+              the default 32 — the iters-to-converge histogram puts
+              ~80% of poses at <= 10 iterations), 512-wide tile;
+      mid     failed quarter, 2 rounds at 5/8 max_iters;
       final   failed 1/32, the full restart schedule.
 
     The found mask matches the single-shot schedule's (every pose
