@@ -15,6 +15,12 @@ import time
 
 import numpy as np
 
+import pathlib
+import sys
+
+# Runnable from a source checkout without installing the package.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 from optik_tpu import Robot
 from optik_tpu.models import asset_path
 

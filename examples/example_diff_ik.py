@@ -20,6 +20,12 @@ import sys
 
 import numpy as np
 
+import pathlib
+import sys
+
+# Runnable from a source checkout without installing the package.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 from optik_tpu import Robot
 from optik_tpu.models import asset_path
 
