@@ -146,3 +146,23 @@ def test_packed_kernel_padding_unit(monkeypatch):
     found = np.asarray(res.found)
     assert found.any()
     assert np.all(np.asarray(res.cost)[found] <= cfg.tol_f * (1 + 1e-6))
+
+
+def test_all_hard_batch_matches_single_shot(robot, hard_batch, monkeypatch):
+    """The VERDICT bar verbatim: a batch of 100% hard poses through the
+    public ik_batch matches the single-shot found mask (every pose
+    overflows every compaction; the rescue replays the full budget)."""
+    monkeypatch.setattr(robot_mod, "_CASCADE_MIN_BATCH", 64)
+    tr, tt, x0 = hard_batch
+    # hard_batch's first 300 rows are the screen-hard replicas; tile a
+    # 512-pose batch from them alone.
+    idx = np.resize(np.arange(300), 512)
+    trh, tth, x0h = tr[idx], tt[idx], x0[idx]
+    res = robot.ik_batch(CFG, trh, tth, x0h, validate_seeds=False)
+    ref = single_shot(robot, trh, tth, x0h)
+    np.testing.assert_array_equal(np.asarray(res.found),
+                                  np.asarray(ref.found))
+    found = np.asarray(res.found)
+    assert found.all()  # hard = screen-fails but full-budget-solvable
+    assert int(res.overflow_count) > 0
+    assert np.all(np.asarray(res.cost)[found] <= CFG.tol_f * (1 + 1e-6))
