@@ -168,14 +168,16 @@ def main():
             # the synced number measures the tunnel, not the engine.
             # Pipelining is the deployment shape (the reference's own
             # benchmark keeps its machine saturated, examples/example.py).
-            # Chain depth: the r5 depth sweep (artifacts/r05_main.out
-            # "depth") measured 28.2 -> 24.6 -> 22.5 -> 21.3 ms/batch at
-            # depths 4/8/16/32 — per-dispatch relay overhead amortizes
-            # until the chain rides the device-busy bound (~20.8 ms,
-            # artifacts/PROFILE_r04.md).  Deployment shape is a continuous
-            # stream, so the headline chains the set REPS times (distinct
-            # batches cycling; depth = iters * reps = 24 by default).
-            reps = int(os.environ.get("OPTIK_BENCH_PIPE_REPS", 8))
+            # Chain depth: the r5 depth sweeps (artifacts/r05_main.out
+            # "depth", r05_depth2.out) measured 28.2 / 24.6 / 22.5 / 21.3
+            # ms/batch at depths 4/8/16/32 and 19.18 / 18.52 / 18.19 at
+            # 24/48/96 (final schedule) — per-dispatch relay overhead
+            # amortizes until the chain sits ON the 18.16 ms device-busy
+            # bound (artifacts/PROFILE_r05.md).  Deployment shape is a
+            # continuous stream, so the headline chains the set REPS times
+            # (distinct batches cycling; depth = iters * reps = 96 by
+            # default, ~1.8 s per pass).
+            reps = int(os.environ.get("OPTIK_BENCH_PIPE_REPS", 32))
 
             def pipe_pass():
                 t1 = time.perf_counter()
