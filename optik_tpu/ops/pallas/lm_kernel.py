@@ -49,15 +49,17 @@ _ROWS = 8  # f32 tile sublane count: the physical row dimension of all lanes
 # semantics for any value; see solver/lm_soa.lm_loop unroll).  The r3
 # depth-4 measurement called this neutral (3.48M vs 3.46M,
 # artifacts/bench_r03i_unroll1.out), but depth-4 chains carry ~5 ms/batch
-# of relay dispatch noise; the r5 depth-16 sweep (artifacts/r05_sched.out)
-# resolves a real win — 20.3 vs 21.1 ms per 128k batch (6.46M vs 6.21M
-# solves/s) at unroll=2, identical found set (lane-iters/solve rises
-# 219.7 -> 228.3 from trailing no-op body applications: cheaper than the
-# serialized loop-condition checks they replace).  Cost: ~2x kernel
-# compile time, paid once per cache. The knob: OPTIK_KERNEL_UNROLL.
+# of relay dispatch noise; the r5 depth-16 sweeps resolve real wins —
+# 21.1 / 20.3 / 18.9 / 19.0 ms per 128k batch at unroll 1/2/3/4
+# (artifacts/r05_sched.out, r05_unroll34.out), identical found set at
+# every setting (lane-iters/solve rises 219.7 -> 224.5 at 3 from
+# trailing no-op body applications: cheaper than the serialized
+# loop-condition checks they replace; 4's extra slack costs more than
+# its checks save).  Cost: ~1.5x kernel compile time, paid once per
+# cache. The knob: OPTIK_KERNEL_UNROLL.
 import os as _os
 
-DEFAULT_UNROLL = int(_os.environ.get("OPTIK_KERNEL_UNROLL", "2"))
+DEFAULT_UNROLL = int(_os.environ.get("OPTIK_KERNEL_UNROLL", "3"))
 
 
 def fold_ee_offset(consts, ee_offset):
